@@ -1,0 +1,58 @@
+"""Headline benchmark: end-to-end global recon of a 30 s 30 fps clip (900
+frames, 2 persons) with the glamr_static stage budget (500 Adam iters),
+the BASELINE.json flagship workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value = frames/sec of the full optimize() call with a warm compile cache
+(production sweeps — run_dataset over 24 sequences x seeds — reuse the
+compiled stage program across sequences, so warm throughput is the
+production number; cold time incl. compile is reported on stderr).
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+"published": {}); baseline is an estimate of the PyTorch reference on its
+own hardware: the reference runs 500 sequential Adam closures, each a
+full-sequence 6890-vertex SMPL LBS fwd+bwd plus per-window CVAE Python
+loops; public GLAMR issue reports put the 30 s demo at ~15 min on a
+modern GPU => ~1 frame/sec. vs_baseline = value / 1.0.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from __graft_entry__ import _synthetic_in_dict
+    from glamr_tpu.body import get_smpl
+    from glamr_tpu.recon import GlobalReconOptimizer
+    from glamr_tpu.utils import Config
+
+    T, P = 900, 2
+    in_dict = _synthetic_in_dict(T=T, P=P)
+    cfg = Config("glamr_static")
+    smpl = get_smpl("body26fk")  # real SMPL if model files present, else synthetic
+    opt = GlobalReconOptimizer(cfg, smpl=smpl)
+
+    t0 = time.time()
+    opt.optimize(in_dict)
+    cold = time.time() - t0
+    print(f"cold optimize (incl. compile): {cold:.2f}s", file=sys.stderr)
+
+    t0 = time.time()
+    opt.optimize(in_dict)
+    warm = time.time() - t0
+    print(f"warm optimize: {warm:.2f}s", file=sys.stderr)
+
+    fps = T / warm
+    print(json.dumps({
+        "metric": "end-to-end video frames/sec (30s 30fps clip, glamr_static 500 iters)",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 1.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

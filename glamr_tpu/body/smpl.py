@@ -43,6 +43,35 @@ class SMPL:
         self.joint_map = jnp.asarray(C.joint_indices_for_pose_type(pose_type))
         self.num_joints = int(self.joint_map.shape[0])
         self.faces = self.model.faces
+        self._build_joint_submodel()
+
+    def _build_joint_submodel(self):
+        """Precompute the vertex subset the extended joint set depends on.
+
+        The pose-type joints are 24 kinematic joints + vertex landmarks +
+        regressed extras. Only the landmark vertices and the (sparse)
+        support of j_regressor_extra are ever read from the skinned mesh,
+        so the stage-4 hot loop skins just those ~O(100) vertices instead
+        of the full 6890 — the same math, ~50x less HBM/FLOP traffic.
+        Rest-pose joints fold the shape blend through the regressor:
+        J(beta) = J_template + (J_reg @ shapedirs) . beta, so no full-mesh
+        blend shape is needed either.
+        """
+        m = self.model
+        lm = np.asarray(m.landmark_vertex_ids)
+        extra_support = np.unique(np.nonzero(np.asarray(m.j_regressor_extra))[1])
+        sub = np.unique(np.concatenate([lm, extra_support]))
+        pos = {v: i for i, v in enumerate(sub.tolist())}
+        self._sub_verts = jnp.asarray(sub)
+        self._sub_landmark_pos = jnp.asarray(np.array([pos[v] for v in lm], np.int32))
+        self._sub_v_template = m.v_template[sub]
+        self._sub_shapedirs = m.shapedirs[sub]
+        self._sub_posedirs = m.posedirs[sub]
+        self._sub_lbs_weights = m.lbs_weights[sub]
+        self._sub_jreg_extra = m.j_regressor_extra[:, sub]
+        # rest-joint shape blend folded through the joint regressor
+        self._joint_template = jnp.einsum("jv,vc->jc", m.j_regressor, m.v_template)
+        self._joint_shapedirs = jnp.einsum("jv,vcs->jcs", m.j_regressor, m.shapedirs)
 
     # ---------------------------------------------------------------- forward
     def __call__(self, *args, **kwargs):
@@ -72,6 +101,48 @@ class SMPL:
             joints24 = reroot(joints24, joints, root_trans, root_scale)
             joints = reroot(joints, joints, root_trans, root_scale)
         return SMPLOutput(vertices=verts, joints=joints, joints24=joints24)
+
+    def joints_fast(
+        self,
+        global_orient: jax.Array,        # (B, 3) axis-angle
+        body_pose: jax.Array,            # (B, 69)
+        betas: jax.Array,                # (B, 10)
+        root_trans: jax.Array | None = None,
+        root_scale: jax.Array | None = None,
+    ) -> jax.Array:
+        """Pose-type joints via subset skinning — numerically identical to
+        forward(...).joints but skins only the vertices the joint set reads
+        (see _build_joint_submodel). The stage-4 optimizer's hot op."""
+        from .lbs import rigid_transform, rodrigues
+
+        B = body_pose.shape[0]
+        pose = jnp.concatenate([global_orient, body_pose], axis=-1)
+        rot_mats = rodrigues(pose.reshape(B, 24, 3))
+
+        rest_joints = self._joint_template + jnp.einsum(
+            "jcs,bs->bjc", self._joint_shapedirs, betas
+        )
+        joints24, rel_tf = rigid_transform(rot_mats, rest_joints, self.model.parents)
+
+        v_shaped = self._sub_v_template + jnp.einsum(
+            "vcs,bs->bvc", self._sub_shapedirs, betas
+        )
+        eye = jnp.eye(3, dtype=rot_mats.dtype)
+        pose_feature = (rot_mats[:, 1:] - eye).reshape(B, -1)
+        v_posed = v_shaped + jnp.einsum("vcp,bp->bvc", self._sub_posedirs, pose_feature)
+        vert_tf = jnp.einsum("vj,bjrc->bvrc", self._sub_lbs_weights, rel_tf)
+        verts = (
+            jnp.einsum("bvij,bvj->bvi", vert_tf[..., :3, :3], v_posed)
+            + vert_tf[..., :3, 3]
+        )
+
+        landmarks = verts[:, self._sub_landmark_pos]
+        extra = jnp.einsum("jv,bvc->bjc", self._sub_jreg_extra, verts)
+        joints54 = jnp.concatenate([joints24, landmarks, extra], axis=1)
+        joints = joints54[:, self.joint_map]
+        if root_trans is not None:
+            joints = reroot(joints, joints, root_trans, root_scale)
+        return joints
 
     # ------------------------------------------------------------- fast paths
     def get_joints(

@@ -1,0 +1,267 @@
+"""Stage-4 differentiable forward graph, TPU-native.
+
+The reference mutates ragged per-person dicts inside a torch Adam closure
+(global_recon/models/global_recon_model.py:394-531). Here the whole graph is
+ONE pure function
+
+    recon_forward(params, const, flags, cam_mode) -> derived
+
+over fixed-shape [P persons, T frames, ...] arrays, so each optimization
+stage compiles to a single XLA program with the Adam loop as a lax.scan.
+
+Layout conventions
+------------------
+* `const`  — dict of non-optimized arrays + masks + normalization counts,
+  built once on the host by recon.data_init / optimizer.prepare_const.
+* `params` — dict of optimizable residual leaves. EVERY leaf always exists
+  (zero / identity initialised); applying a zero residual is the identity,
+  so "which variables does this stage optimize" is purely an optax mask,
+  never a change to the graph (the reference instead branches on
+  `opt_variables` at :452-469 — same semantics for the shipped configs,
+  where unoptimized residuals are always zero).
+* Ragged per-person spans [fr_start, fr_end) are padded to T with
+  identity local-traj frames (see transforms.traj.IDENTITY_LOCAL_TRAJ);
+  after integration, frames outside the span are clamped to the span edge
+  (`span_clamp_idx`) so smoothness terms see constant motion there.
+
+Camera modes (static per optimization stage):
+  'hold'   — camera frozen at const['cam_pose_init'] (also the init stage)
+  'param'  — camera from cam_rot_6d/cam_trans params ('cam' in
+             opt_variables; reference :474-480). flags.fixed_cam uses the
+             single-frame *_fix params broadcast over T.
+  'person' — camera derived per-frame from visible persons' world pose +
+             person2cam, forward-filled over person-free frames, with
+             rot/trans residuals (reference :481-508).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..transforms import (
+    angle_axis_to_quaternion,
+    heading_to_vec,
+    inverse_transform,
+    make_transform,
+    quat_mul,
+    quaternion_to_angle_axis,
+    rot6d_to_rotmat,
+    rotmat_to_rot6d,
+    traj_local2global_heading,
+    transform_rot,
+    transform_trans,
+    vec_to_heading,
+)
+from ..transforms.camera import perspective_projection
+
+
+@dataclass(frozen=True)
+class ReconFlags:
+    """Static behaviour flags (hashable; part of the jit cache key).
+
+    Mirrors grecon_model_specs (reference global_recon_model.py:37-60).
+    """
+
+    pred_traj: bool = True
+    opt_traj: bool = True
+    opt_cam: bool = True
+    fixed_cam: bool = False
+    opt_vis_local_rot: bool = False
+    opt_person2cam_rot: bool = False
+    opt_person2cam_trans: bool = False
+    cam_inv_trans_res_all: bool = True
+    heading_type: str = "scalar"
+    absolute_heading: bool = False
+    use_pen_loss: bool = False
+
+
+# ---------------------------------------------------------------------------
+# trajectory composition
+# ---------------------------------------------------------------------------
+
+def compose_local_traj(params: dict, const: dict, flags: ReconFlags) -> jax.Array:
+    """traj_local_pred + residuals -> (P, T, 11) (reference :394-419)."""
+    tl = const["traj_local_pred"]
+    first = const["first_mask"]            # (P, T) 1.0 at fr_start
+    rest = const["rest_mask"]              # (P, T) exist & not first
+    exist = const["exist_mask"]            # (P, T)
+    dh_mask = rest * const["dheading_mask"]  # cam_fix_frames zeroing (:400-402)
+
+    xy = tl[..., 0:2] + first[..., None] * params["traj_local_xy"][:, None, :] \
+        + rest[..., None] * params["traj_local_dxy"]
+    z = tl[..., 2:3] + (exist * params["traj_local_z"])[..., None]
+
+    rot_mask = const["vis_mask"] if flags.opt_vis_local_rot else exist
+    rot = tl[..., 3:9] + rot_mask[..., None] * params["traj_local_rot"]
+
+    hv = tl[..., 9:11]
+    if flags.heading_type == "vec":
+        # vec mode: residuals add directly to the heading vectors (:403-405);
+        # params are (P, 2) / (P, T, 2) in this mode (see init_params)
+        hv = hv + first[..., None] * params["traj_local_heading"][:, None, :] \
+            + dh_mask[..., None] * params["traj_local_dheading"]
+    else:
+        h = vec_to_heading(hv)
+        h = h + first * params["traj_local_heading"][:, None] \
+            + dh_mask * params["traj_local_dheading"]
+        hv = heading_to_vec(h)
+
+    return jnp.concatenate([xy, z, rot, hv], axis=-1)
+
+
+def world_pose_from_traj(params: dict, const: dict, flags: ReconFlags):
+    """Integrate the composed local traj and apply world-level residuals.
+
+    Returns (smpl_orient_world (P,T,3) aa, root_trans_world (P,T,3),
+    traj_local (P,T,11)).
+    """
+    if flags.pred_traj:
+        traj_local = compose_local_traj(params, const, flags)
+        trans, orient_q = traj_local2global_heading(
+            traj_local, local_heading=not flags.absolute_heading
+        )
+        # hold the span edges constant outside [fr_start, fr_end)
+        clamp = const["span_clamp_idx"]  # (P, T) int32
+        trans = jnp.take_along_axis(trans, clamp[..., None], axis=1)
+        orient_q = jnp.take_along_axis(orient_q, clamp[..., None], axis=1)
+        orient_aa = quaternion_to_angle_axis(orient_q)
+    else:
+        traj_local = const["traj_local_pred"]
+        orient_aa = const["smpl_orient_world_base"]
+        trans = const["root_trans_world_base"]
+
+    if flags.opt_traj:
+        orient_aa = orient_aa + params["smpl_orient_world_res"]
+        trans = trans + params["root_trans_world_res"]
+        # world_dheading: extra yaw applied on top (reference :459-465)
+        dh = params["world_dheading"]  # (P, T, 1)
+        dh_aa = jnp.concatenate([jnp.zeros_like(dh), jnp.zeros_like(dh), dh], axis=-1)
+        orient_q = quat_mul(
+            angle_axis_to_quaternion(dh_aa), angle_axis_to_quaternion(orient_aa)
+        )
+        orient_aa = quaternion_to_angle_axis(orient_q)
+        trans = trans.at[..., :2].add(params["world_dxy"])
+    return orient_aa, trans, traj_local
+
+
+# ---------------------------------------------------------------------------
+# camera composition
+# ---------------------------------------------------------------------------
+
+def _forward_fill_cam(cpi: jax.Array, valid: jax.Array, first_valid: jax.Array):
+    """Fill invalid frames of (T,4,4) with the last valid camera; frames
+    before the first valid frame take the first valid camera
+    (reference :493-498 and :304-311). Vectorized: last-valid index via a
+    running max instead of a sequential scan."""
+    T = cpi.shape[0]
+    t = jnp.arange(T)
+    idx = jax.lax.cummax(jnp.where(valid, t, -1))
+    idx = jnp.where(idx < 0, first_valid, idx)
+    return cpi[idx]
+
+
+def camera_from_person_pose(params, const, flags, person_transform_world):
+    """Derive per-frame camera from visible persons (reference :481-508)."""
+    p2c = const["person2cam"]  # (P, T, 4, 4)
+    if flags.opt_person2cam_rot or flags.opt_person2cam_trans:
+        res = make_transform(
+            params["person2cam_res_rot"], params["person2cam_res_trans"], rot_type="6d"
+        )
+        p2c = jnp.einsum("ptij,ptjk->ptik", p2c, res)
+    cpi_per = jnp.einsum("ptij,ptjk->ptik", person_transform_world, p2c)
+    vis = const["vis_mask"]  # (P, T)
+    num = const["fr_num_persons"]  # (T,)
+    cpi = jnp.sum(cpi_per * vis[..., None, None], axis=0) / jnp.maximum(num, 1.0)[
+        :, None, None
+    ]
+    cpi = _forward_fill_cam(cpi, num > 0, const["first_any_vis_idx"])
+
+    rot6 = rotmat_to_rot6d(cpi[:, :3, :3])
+    empty = (num == 0)[:, None]
+    rot6 = rot6 + jnp.where(empty, params["cam_inv_rot_residual"], 0.0)
+    trans = cpi[:, :3, 3]
+    if flags.cam_inv_trans_res_all:
+        trans = trans + params["cam_inv_trans_residual"]
+    else:
+        trans = trans + jnp.where(empty, params["cam_inv_trans_residual"], 0.0)
+    cam_pose_inv = make_transform(rot6d_to_rotmat(rot6), trans)
+    return inverse_transform(cam_pose_inv), cam_pose_inv
+
+
+def compose_camera(params, const, flags: ReconFlags, cam_mode: str,
+                   person_transform_world):
+    if cam_mode == "param" and flags.opt_cam:
+        T = const["cam_pose_init"].shape[0]
+        if flags.fixed_cam:
+            rot6 = jnp.broadcast_to(params["cam_rot_6d_fix"], (T, 6))
+            trans = jnp.broadcast_to(params["cam_trans_fix"], (T, 3))
+        else:
+            rot6 = params["cam_rot_6d"]
+            trans = params["cam_trans"]
+        cam_pose = make_transform(rot6, trans, rot_type="6d")
+        return cam_pose, inverse_transform(cam_pose), rot6, trans
+    if cam_mode == "person" and flags.opt_cam:
+        cam_pose, cam_pose_inv = camera_from_person_pose(
+            params, const, flags, person_transform_world
+        )
+        return cam_pose, cam_pose_inv, None, None
+    cam_pose = const["cam_pose_init"]
+    return cam_pose, inverse_transform(cam_pose), None, None
+
+
+# ---------------------------------------------------------------------------
+# full forward
+# ---------------------------------------------------------------------------
+
+def recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
+                  cam_mode: str) -> dict:
+    """The complete differentiable graph: residuals -> world traj -> camera
+    -> SMPL joints -> 2D keypoints (reference forward :428-531)."""
+    orient_w, trans_w, traj_local = world_pose_from_traj(params, const, flags)
+    person_tf_world = make_transform(orient_w, trans_w, rot_type="axis_angle")
+
+    cam_pose, cam_pose_inv, cam_rot_6d, cam_trans = compose_camera(
+        params, const, flags, cam_mode, person_tf_world
+    )
+
+    # per-person pose expressed back in the (possibly moving) camera frame
+    orient_ciw = transform_rot(cam_pose[None], orient_w)
+    trans_ciw = transform_trans(cam_pose[None], trans_w)
+
+    # SMPL joints (subset skinning) + projection, batched over P*T
+    P, T = orient_w.shape[:2]
+    joints = smpl.joints_fast(
+        orient_w.reshape(P * T, 3),
+        const["smpl_pose"].reshape(P * T, -1),
+        const["smpl_beta"].reshape(P * T, -1),
+        root_trans=trans_w.reshape(P * T, 3),
+    ).reshape(P, T, -1, 3)
+    joints_cam = transform_trans(cam_pose[None], joints)
+    kp_2d_pred = perspective_projection(joints_cam, const["cam_K"])
+
+    derived = {
+        "traj_local": traj_local,
+        "smpl_orient_world": orient_w,
+        "root_trans_world": trans_w,
+        "person_transform_world": person_tf_world,
+        "cam_pose": cam_pose,
+        "cam_pose_inv": cam_pose_inv,
+        "smpl_orient_cam_in_world": orient_ciw,
+        "root_trans_cam_in_world": trans_ciw,
+        "joints_world": joints,
+        "kp_2d_pred": kp_2d_pred,
+    }
+    if cam_rot_6d is not None:
+        derived["cam_rot_6d"] = cam_rot_6d
+        derived["cam_trans"] = cam_trans
+    if flags.use_pen_loss:
+        verts = smpl.forward(
+            orient_w.reshape(P * T, 3),
+            const["smpl_pose"].reshape(P * T, -1),
+            const["smpl_beta"].reshape(P * T, -1),
+            root_trans=trans_w.reshape(P * T, 3),
+        ).vertices
+        derived["smpl_verts"] = verts.reshape(P, T, -1, 3)
+    return derived

@@ -1,0 +1,596 @@
+"""Stage-4 global reconstruction optimizer — the GLAMR core product.
+
+TPU-native redesign of GlobalReconOptimizer
+(reference: global_recon/models/global_recon_model.py:23-659):
+
+* data init runs ONCE on the host (ragged spans, interpolation, pose
+  filtering — recon.data_init), producing fixed-shape [P, T, ...] arrays;
+* each optimization stage compiles to a single XLA program: an
+  `optax.adam` step inside `lax.scan` over iterations, with the full
+  forward graph (traj compose -> camera -> subset-skinned SMPL ->
+  projection -> 25-loss registry) fused into the step;
+* which variables a stage optimizes is an `optax.masked` mask over an
+  always-present residual pytree — no graph changes between stages, so
+  at most one compile per (stage shape, flag set);
+* every per-iteration quantity the reference prints is returned as a
+  scanned history and logged from the host afterwards.
+
+Public surface matches the reference: `GlobalReconOptimizer(cfg).optimize(
+in_dict) -> out_dict` with the same pose.pkl-style input schema and the
+same output keys the visualizer/evaluator consume.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..body.smpl import get_smpl
+from ..transforms import (
+    angle_axis_to_quaternion,
+    inverse_transform,
+    make_transform,
+    quaternion_to_angle_axis,
+    rot6d_to_rotmat,
+    rotation_matrix_to_quaternion,
+    rotmat_to_rot6d,
+    traj_global2local_heading,
+    traj_local2global_heading,
+    interp_orient_q_sep_heading,
+)
+from ..utils.log_utils import convert_sec_to_time, create_logger
+from .data_init import BatchedPersons, init_batched
+from .forward import ReconFlags, recon_forward
+from .losses import compute_losses
+
+
+class GlobalReconOptimizer:
+    def __init__(self, cfg, joint_model=None, log=None, smpl=None):
+        """cfg: utils.Config with grecon_model_specs + opt_stage_specs.
+
+        joint_model: optional models.JointModel providing CVAE motion
+        infill + trajectory prediction (reference loads it from
+        motion_traj_cfg checkpoints at :69-74). Without it, the base
+        trajectory is derived from the per-frame estimates ('est' source),
+        which exercises the identical optimization graph.
+        """
+        self.cfg = cfg
+        self.specs = specs = cfg.get("grecon_model_specs", {})
+        self.log = log or create_logger()
+        self.joint_model = joint_model
+        self.smpl = smpl or get_smpl("body26fk")
+
+        g = specs.get
+        self.flags = ReconFlags(
+            pred_traj=g("flag_pred_traj", True),
+            opt_traj=g("flag_opt_traj", True),
+            opt_cam=g("flag_opt_cam", True),
+            fixed_cam=g("flag_fixed_cam", False),
+            opt_vis_local_rot=g("flag_opt_vis_local_rot", False),
+            opt_person2cam_rot=g("flag_opt_person2cam_rot", False),
+            opt_person2cam_trans=g("flag_opt_person2cam_trans", False),
+            cam_inv_trans_res_all=g("flag_cam_inv_trans_res_all", True),
+            heading_type=g("heading_type", "scalar"),
+            absolute_heading=g("absolute_heading", False),
+            use_pen_loss=g("flag_use_pen_loss", False),
+        )
+        self.flag_infer_motion_traj = g("flag_infer_motion_traj", False)
+        self.flag_infill_motion = g("flag_infill_motion", True)
+        self.flag_opt_motion_latent = g("flag_opt_motion_latent", False)
+        self.flag_opt_traj_latent = g("flag_opt_traj_latent", False)
+        self.flag_filter_pose = g("flag_filter_pose", True)
+        self.flag_make_invis_with_keypoint = g("flag_make_invis_with_keypoint", False)
+        self.make_invis_keypoint_min_score = g("make_invis_keypoint_min_score", 0.6)
+        self.make_invis_keypoint_min_num = g("make_invis_keypoint_min_num", 15)
+        self.flag_opt_cam_from_person_pose = g("flag_opt_cam_from_person_pose", False)
+        self.flag_init_cam_all_frames = g("flag_init_cam_all_frames", False)
+        self.flag_traj_from_cam = g("flag_traj_from_cam", False)
+        self.traj_interp_method = g("traj_interp_method", "linear_interp")
+        self.cam_fix_frames = g("cam_fix_frames", [[0, None]])
+        self.opt_stage_specs = cfg.opt_stage_specs
+        self._stage_cache: dict = {}
+        self._fwd_cache: dict = {}
+        if self.flag_infer_motion_traj and self.joint_model is None:
+            self.log.info(
+                "flag_infer_motion_traj set but no joint model provided — "
+                "falling back to estimate-derived base trajectory"
+            )
+            self.flag_infer_motion_traj = False
+
+    # ------------------------------------------------------------------ init
+
+    def _traj_base_from_est(self, bp: BatchedPersons):
+        """World base trajectory = camera-frame estimate under the identity
+        world camera (reference init world pose :141-144)."""
+        orient_w = bp.smpl_orient_cam.copy()
+        trans_w = bp.root_trans_cam.copy()
+        return orient_w, trans_w
+
+    def _traj_local_from_bases(self, orient_w, trans_w, bp: BatchedPersons):
+        """Per-person identity-padded (P, T, 11) local traj of the bases."""
+        from ..transforms.traj import pad_local_traj_span
+
+        P, T = orient_w.shape[:2]
+        out = np.zeros((P, T, 11), np.float32)
+        for p in range(P):
+            s, e = int(bp.fr_start[p]), int(bp.fr_end[p])
+            q = np.asarray(
+                angle_axis_to_quaternion(jnp.asarray(orient_w[p, s:e]))
+            )
+            local = np.asarray(
+                traj_global2local_heading(jnp.asarray(trans_w[p, s:e]), jnp.asarray(q))
+            )
+            out[p] = pad_local_traj_span(local, s, T)
+        return out
+
+    def _infer_motion_traj(self, bp: BatchedPersons, motion_eps, traj_eps):
+        """Run the CVAE joint model per person over its exist span
+        (reference infer_motion_traj :353-392). Returns (smpl_pose (may be
+        infilled), orient_w base, trans_w base, traj_local_pred)."""
+        jm = self.joint_model
+        P, T = bp.smpl_pose.shape[:2]
+        smpl_pose = bp.smpl_pose.copy()
+        orient_w = np.zeros((P, T, 3), np.float32)
+        trans_w = np.zeros((P, T, 3), np.float32)
+        traj_local = np.zeros((P, T, 11), np.float32)
+        from ..transforms.traj import pad_local_traj_span
+
+        for p in range(P):
+            s, e = int(bp.fr_start[p]), int(bp.fr_end[p])
+            body = jnp.asarray(bp.smpl_pose_nofill[p, s:e])[None]
+            mask = jnp.asarray(bp.visible[p, s:e])[None]
+            out = jm.infer(
+                body, mask,
+                motion_eps=motion_eps[p] if motion_eps is not None else None,
+                traj_eps=traj_eps[p] if traj_eps is not None else None,
+            )
+            if self.flag_infill_motion:
+                smpl_pose[p, s:e] = np.asarray(out["body_pose"][0])
+            traj_local[p] = pad_local_traj_span(np.asarray(out["local_traj"][0]), s, T)
+            orient_full = np.asarray(quaternion_to_angle_axis(out["orient_q"][0]))
+            orient_w[p, s:e] = orient_full
+            trans_w[p, s:e] = np.asarray(out["trans"][0])
+            # hold span edges
+            orient_w[p, :s] = orient_w[p, s]
+            orient_w[p, e:] = orient_w[p, e - 1]
+            trans_w[p, :s] = trans_w[p, s]
+            trans_w[p, e:] = trans_w[p, e - 1]
+        return smpl_pose, orient_w, trans_w, traj_local
+
+    def _init_cam_pose(self, person_tf_world, person2cam, bp: BatchedPersons,
+                       all_frames: bool):
+        """Camera from person pose (reference init_cam_pose :294-317).
+
+        Static mode broadcasts the first-visible frame's derived camera;
+        all_frames mode keeps per-frame cameras, forward/backward-filling
+        frames where person 0 is invisible (the reference's sequence of
+        overwrites reduces to this on its supported paths)."""
+        cpi_all = np.einsum("ptij,ptjk->ptik", person_tf_world, person2cam)
+        vis0 = bp.visible[0] > 0
+        first = int(np.where(vis0)[0][0])
+        if all_frames:
+            cpi = cpi_all[0].copy()
+            last = cpi[first]
+            for t in range(cpi.shape[0]):
+                if vis0[t]:
+                    last = cpi[t]
+                else:
+                    cpi[t] = last
+            cpi[:first] = cpi_all[0][first]
+        else:
+            cpi = np.tile(cpi_all[0][first], (cpi_all.shape[1], 1, 1))
+        rot = np.asarray(rot6d_to_rotmat(rotmat_to_rot6d(jnp.asarray(cpi[:, :3, :3]))))
+        cpi[:, :3, :3] = rot
+        cam_pose = np.asarray(inverse_transform(jnp.asarray(cpi)))
+        return cam_pose, cpi
+
+    def _apply_cam_fix_heading(self, traj_local_pred, cam_pose_inv, bp,
+                               person_tf_cam):
+        """init_traj_heading_from_cam (reference :273-292): within
+        cam_fix_frames, replace the predicted heading channels with the
+        camera-derived world heading, then re-integrate the bases."""
+        P, T = traj_local_pred.shape[:2]
+        orient_w = np.zeros((P, T, 3), np.float32)
+        trans_w = np.zeros((P, T, 3), np.float32)
+        for p in range(P):
+            s, e = int(bp.fr_start[p]), int(bp.fr_end[p])
+            pose_in_world = np.einsum(
+                "tij,tjk->tik", cam_pose_inv, person_tf_cam[p]
+            )
+            trans = pose_in_world[:, :3, 3]
+            orient_q = np.asarray(
+                rotation_matrix_to_quaternion(jnp.asarray(pose_in_world[:, :3, :3]))
+            )
+            vis = bp.visible[p] > 0
+            orient_q_i = interp_orient_q_sep_heading(orient_q[vis], vis)
+            local = np.asarray(
+                traj_global2local_heading(jnp.asarray(trans), jnp.asarray(orient_q_i))
+            )
+            span = local[s:e]
+            for (a, b) in self.cam_fix_frames:
+                sl = slice(a, b)
+                traj_local_pred[p, s:e][sl, -2:] = span[sl, -2:]
+            tr, oq = traj_local2global_heading(
+                jnp.asarray(traj_local_pred[p, s:e]),
+                local_heading=not self.flags.absolute_heading,
+            )
+            orient_w[p, s:e] = np.asarray(quaternion_to_angle_axis(oq))
+            trans_w[p, s:e] = np.asarray(tr)
+            orient_w[p, :s], orient_w[p, e:] = orient_w[p, s], orient_w[p, e - 1]
+            trans_w[p, :s], trans_w[p, e:] = trans_w[p, s], trans_w[p, e - 1]
+        return traj_local_pred, orient_w, trans_w
+
+    def init_data(self, in_dict: dict) -> dict:
+        """Host-side data init -> {'const', 'params', 'bp', meta...}."""
+        bp = init_batched(
+            in_dict,
+            flag_filter_pose=self.flag_filter_pose,
+            make_invis_with_keypoint=self.flag_make_invis_with_keypoint,
+            keypoint_min_score=self.make_invis_keypoint_min_score,
+            keypoint_min_num=self.make_invis_keypoint_min_num,
+        )
+        P, T = bp.num_persons, bp.num_fr
+
+        # latents (optimizable when the flags say so)
+        motion_eps = traj_eps = None
+        if self.joint_model is not None and self.flag_infer_motion_traj:
+            jm = self.joint_model
+            motion_eps, traj_eps = [], []
+            for p in range(P):
+                L, nz = jm.motion_latent_shape(int(bp.fr_end[p] - bp.fr_start[p]))
+                motion_eps.append(np.zeros((L, 1, nz), np.float32))
+                traj_eps.append(np.zeros(jm.traj_latent_shape(0), np.float32))
+            smpl_pose, orient_w, trans_w, traj_local_pred = self._infer_motion_traj(
+                bp, motion_eps, traj_eps
+            )
+            bp.smpl_pose = smpl_pose
+        else:
+            if not self.flags.pred_traj or not self.flag_infer_motion_traj:
+                orient_w, trans_w = self._traj_base_from_est(bp)
+            traj_local_pred = self._traj_local_from_bases(orient_w, trans_w, bp)
+
+        person_tf_cam = np.asarray(
+            make_transform(jnp.asarray(bp.smpl_orient_cam),
+                           jnp.asarray(bp.root_trans_cam), rot_type="axis_angle")
+        )
+        person2cam = np.asarray(inverse_transform(jnp.asarray(person_tf_cam)))
+        person_tf_world = np.asarray(
+            make_transform(jnp.asarray(orient_w), jnp.asarray(trans_w),
+                           rot_type="axis_angle")
+        )
+
+        # pairwise relative transforms in the camera frame (:178-183)
+        inv_tf_cam = np.asarray(inverse_transform(jnp.asarray(person_tf_cam)))
+        rel_transform_cam = np.einsum("ptij,qtjk->pqtik", inv_tf_cam, person_tf_cam)
+        vis = bp.visible > 0
+        pair_vis = (vis[:, None] & vis[None, :]).astype(np.float32)
+        eye = np.eye(P, dtype=bool)
+        pair_vis[eye] = 0.0
+        pair_first = np.zeros_like(pair_vis)
+        for i in range(P):
+            for j in range(P):
+                if i != j and pair_vis[i, j].any():
+                    pair_first[i, j, int(np.argmax(pair_vis[i, j]))] = 1.0
+
+        # camera init from person pose (:235, :243-244)
+        cam_pose, cam_pose_inv = self._init_cam_pose(
+            person_tf_world, person2cam, bp, all_frames=False
+        )
+        if self.flag_traj_from_cam:
+            orient_w, trans_w, traj_local_pred, bp = self._traj_from_cam(
+                cam_pose_inv, person_tf_cam, bp
+            )
+        if self.flag_infer_motion_traj and self.flags.pred_traj:
+            traj_local_pred, orient_w, trans_w = self._apply_cam_fix_heading(
+                traj_local_pred, cam_pose_inv, bp, person_tf_cam
+            )
+            person_tf_world = np.asarray(
+                make_transform(jnp.asarray(orient_w), jnp.asarray(trans_w),
+                               rot_type="axis_angle")
+            )
+        if self.flag_init_cam_all_frames:
+            cam_pose, cam_pose_inv = self._init_cam_pose(
+                person_tf_world, person2cam, bp, all_frames=True
+            )
+
+        # masks / counts
+        exist = bp.exist_frames.astype(np.float32)
+        first_mask = np.zeros((P, T), np.float32)
+        span_clamp = np.zeros((P, T), np.int32)
+        dheading_mask = np.ones((P, T), np.float32)
+        for p in range(P):
+            s, e = int(bp.fr_start[p]), int(bp.fr_end[p])
+            first_mask[p, s] = 1.0
+            span_clamp[p] = np.clip(np.arange(T), s, e - 1)
+            # cam_fix_frames are exist-span-relative on the dheading slots
+            # (reference :400-402): slot at global frame t covers relative
+            # index t - s - 1
+            rel = np.arange(T) - s - 1
+            for (a, b) in self.cam_fix_frames:
+                b_ = (e - s - 1) if b is None else b
+                dheading_mask[p, (rel >= a) & (rel < b_)] = 0.0
+        vis_f = bp.visible.astype(np.float32)
+        vis_rank = np.where(vis, np.cumsum(vis, axis=1) - 1, -1).astype(np.int32)
+        n_exist = (bp.fr_end - bp.fr_start).astype(np.float32)
+        first_any = int(np.argmax(bp.fr_num_persons > 0))
+
+        const = {
+            "kp_2d": bp.kp_2d, "kp_2d_score": bp.kp_2d_score, "cam_K": bp.cam_K,
+            "smpl_pose": bp.smpl_pose, "smpl_beta": bp.smpl_beta,
+            "smpl_orient_cam": bp.smpl_orient_cam,
+            "root_trans_cam": bp.root_trans_cam,
+            "smpl_orient_world_base": orient_w, "root_trans_world_base": trans_w,
+            "traj_local_pred": traj_local_pred,
+            "person2cam": person2cam,
+            "rel_transform_cam": rel_transform_cam.astype(np.float32),
+            "pair_vis": pair_vis, "pair_first_vis": pair_first,
+            "cam_pose_init": cam_pose.astype(np.float32),
+            "vis_mask": vis_f, "exist_mask": exist, "first_mask": first_mask,
+            "rest_mask": exist * (1.0 - first_mask),
+            "dheading_mask": dheading_mask,
+            "span_clamp_idx": span_clamp,
+            "vis_rank": vis_rank,
+            "n_vis": vis_f.sum(1),
+            "n_exist": n_exist, "n_exist_m1": np.maximum(n_exist - 1, 0),
+            "n_frames_p": np.full((P,), T, np.float32),
+            "fr_num_persons": bp.fr_num_persons.astype(np.float32),
+            "first_any_vis_idx": np.int32(first_any),
+            "n_cam_trans_res": np.float32(
+                T if self.flags.cam_inv_trans_res_all
+                else max(int((bp.fr_num_persons == 0).sum()), 1)
+            ),
+        }
+        const = {k: jnp.asarray(v) for k, v in const.items()}
+
+        params = self._init_params(P, T)
+        return {
+            "const": const, "params": params, "bp": bp,
+            "seq_name": in_dict.get("seq_name", "seq"),
+            "gt": in_dict.get("gt", {}), "gt_meta": in_dict.get("gt_meta", {}),
+        }
+
+    def _init_params(self, P: int, T: int) -> dict:
+        z = lambda *s: jnp.zeros(s, jnp.float32)
+        heading_dim = (P, 2) if self.flags.heading_type == "vec" else (P,)
+        dheading_shape = (P, T, 2) if self.flags.heading_type == "vec" else (P, T)
+        id6 = jnp.tile(jnp.array([1., 0., 0., 0., 1., 0.], jnp.float32), (P, T, 1))
+        params = {
+            "traj_local_xy": z(P, 2),
+            "traj_local_dxy": z(P, T, 2),
+            "traj_local_heading": jnp.zeros(heading_dim, jnp.float32),
+            "traj_local_dheading": jnp.zeros(dheading_shape, jnp.float32),
+            "traj_local_z": z(P, T),
+            "traj_local_rot": z(P, T, 6),
+            "world_dheading": z(P, T, 1),
+            "world_dxy": z(P, T, 2),
+            "smpl_orient_world_res": z(P, T, 3),
+            "root_trans_world_res": z(P, T, 3),
+            "person2cam_res_rot": id6,
+            "person2cam_res_trans": z(P, T, 3),
+            "cam_rot_6d": z(T, 6),
+            "cam_trans": z(T, 3),
+            "cam_rot_6d_fix": z(1, 6),
+            "cam_trans_fix": z(1, 3),
+            "cam_inv_rot_residual": z(T, 6),
+            "cam_inv_trans_residual": z(T, 3),
+            "motion_latent": z(P, 1, 1),
+            "traj_latent": z(P, 1, 1),
+        }
+        return params
+
+    def _traj_from_cam(self, cam_pose_inv, person_tf_cam, bp):
+        """flag_traj_from_cam (reference get_traj_from_cam :325-351)."""
+        P, T = bp.smpl_pose.shape[:2]
+        orient_w = np.zeros((P, T, 3), np.float32)
+        trans_w = np.zeros((P, T, 3), np.float32)
+        for p in range(P):
+            tf_w = np.einsum("tij,tjk->tik", cam_pose_inv, person_tf_cam[p])
+            trans = tf_w[:, :3, 3].copy()
+            orient_q = np.asarray(
+                rotation_matrix_to_quaternion(jnp.asarray(tf_w[:, :3, :3]))
+            )
+            vis = bp.visible[p] > 0
+            if self.traj_interp_method == "linear_interp":
+                orient_q = interp_orient_q_sep_heading(orient_q[vis], vis)
+            else:  # 'last_pose'
+                last_q = last_t = None
+                for t in np.where(bp.exist_frames[p])[0]:
+                    if vis[t]:
+                        last_q, last_t = orient_q[t], trans[t]
+                    else:
+                        orient_q[t], trans[t] = last_q, last_t
+                        if not (self.flag_infer_motion_traj and self.flag_infill_motion):
+                            bp.smpl_pose[p, t] = bp.smpl_pose[p, np.where(vis[:t])[0][-1]]
+            orient_w[p] = np.asarray(quaternion_to_angle_axis(jnp.asarray(orient_q)))
+            trans_w[p] = trans
+        traj_local_pred = self._traj_local_from_bases(orient_w, trans_w, bp)
+        return orient_w, trans_w, traj_local_pred, bp
+
+    # ------------------------------------------------------------ stage loop
+
+    def _param_mask(self, opt_variables) -> dict:
+        """opt_variables -> boolean mask pytree (reference get_parameter
+        :591-633, expressed as an optax mask)."""
+        trainable = set()
+        if "cam" in opt_variables:
+            if self.flags.fixed_cam:
+                trainable |= {"cam_rot_6d_fix", "cam_trans_fix"}
+            else:
+                trainable |= {"cam_rot_6d", "cam_trans"}
+        else:
+            trainable |= {"cam_inv_rot_residual", "cam_inv_trans_residual"}
+        if self.flags.opt_traj:
+            for key in opt_variables:
+                if key == "world_res":
+                    trainable |= {"smpl_orient_world_res", "root_trans_world_res"}
+                if "local" in key:
+                    trainable.add(f"traj_{key}")
+        if self.flags.opt_person2cam_rot and "person2cam_rot" in opt_variables:
+            trainable.add("person2cam_res_rot")
+        if self.flags.opt_person2cam_trans and "person2cam_trans" in opt_variables:
+            trainable.add("person2cam_res_trans")
+        if self.flag_opt_motion_latent:
+            trainable.add("motion_latent")
+        if self.flag_opt_traj_latent:
+            trainable.add("traj_latent")
+        if "world_dheading" in opt_variables:
+            trainable.add("world_dheading")
+        if "world_dxy" in opt_variables:
+            trainable.add("world_dxy")
+        return trainable
+
+    def _stage_fn(self, stage_key, cam_mode, trainable, opt_lr, opt_niters,
+                  loss_cfg):
+        """Build (and cache) the compiled stage program."""
+        cache_key = (stage_key, cam_mode, tuple(sorted(trainable)), opt_lr,
+                     opt_niters, repr(sorted(loss_cfg.items())))
+        if cache_key in self._stage_cache:
+            return self._stage_cache[cache_key]
+
+        flags, smpl = self.flags, self.smpl
+        # frozen leaves must get a ZERO update (optax.masked alone would
+        # pass their raw gradients through as updates)
+        tx = optax.multi_transform(
+            {"opt": optax.adam(opt_lr, b1=0.9, b2=0.999, eps=1e-8),
+             "frozen": optax.set_to_zero()},
+            {k: ("opt" if k in trainable else "frozen") for k in self._param_keys},
+        )
+
+        def loss_fn(params, const):
+            derived = recon_forward(params, const, smpl, flags, cam_mode)
+            data = {**const, **params, **derived}
+            return compute_losses(data, loss_cfg)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(carry, _):
+            params, opt_state, const = carry
+            (loss, loss_uw), grads = grad_fn(params, const)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, const), (loss, loss_uw)
+
+        @jax.jit
+        def run(params, const):
+            opt_state = tx.init(params)
+            (params, _, _), hist = jax.lax.scan(
+                step, (params, opt_state, const), None, length=opt_niters
+            )
+            return params, hist
+
+        self._stage_cache[cache_key] = run
+        return run
+
+    def optimize(self, in_dict: dict, continue_opt: bool = False) -> dict:
+        data = in_dict if continue_opt else self.init_data(in_dict)
+        const, params = data["const"], data["params"]
+        self._param_keys = list(params.keys())
+
+        for stage, ss in self.opt_stage_specs.items():
+            opt_variables = ss["opt_variables"]
+            trainable = self._param_mask(opt_variables)
+            cam_mode = (
+                "param" if "cam" in opt_variables
+                else "person" if self.flag_opt_cam_from_person_pose
+                else "hold"
+            )
+            if cam_mode == "param":
+                # seed camera params from the current camera (reference
+                # get_parameter :596-606)
+                cam = const["cam_pose_init"]
+                rot6 = rotmat_to_rot6d(cam[:, :3, :3])
+                if self.flags.fixed_cam:
+                    params["cam_rot_6d_fix"] = rot6[:1]
+                    params["cam_trans_fix"] = cam[:1, :3, 3]
+                else:
+                    params["cam_rot_6d"] = rot6
+                    params["cam_trans"] = cam[:, :3, 3]
+
+            run = self._stage_fn(
+                stage, cam_mode, trainable, float(ss["opt_lr"]),
+                int(ss["opt_niters"]), ss["loss_cfg"],
+            )
+            t0 = time.time()
+            params, (loss_hist, loss_uw_hist) = run(params, const)
+            loss_hist = np.asarray(loss_hist)
+            elapsed = time.time() - t0
+            self._log_stage(data["seq_name"], stage, ss, loss_hist,
+                            {k: np.asarray(v) for k, v in loss_uw_hist.items()},
+                            elapsed)
+
+            # thread the stage's final camera into subsequent stages
+            derived = self._jit_forward(cam_mode)(params, const)
+            cam_pose = derived["cam_pose"]
+            if ss.get("reinitialize_cam", False):
+                cam_pose = jnp.broadcast_to(cam_pose[:1], cam_pose.shape)
+            const = dict(const)
+            const["cam_pose_init"] = cam_pose
+
+        data["const"], data["params"] = const, params
+        return self._build_output(data, derived, params, const)
+
+    def _jit_forward(self, cam_mode: str):
+        if cam_mode not in self._fwd_cache:
+            smpl, flags = self.smpl, self.flags
+            self._fwd_cache[cam_mode] = jax.jit(
+                lambda p, c: recon_forward(p, c, smpl, flags, cam_mode)
+            )
+        return self._fwd_cache[cam_mode]
+
+    def _log_stage(self, seq_name, stage, ss, loss_hist, loss_uw, elapsed):
+        n = len(loss_hist)
+        for i in range(0, n, max(n // 10, 1)):
+            terms = " | ".join(f"{k}: {v[i]:7.3f}" for k, v in sorted(loss_uw.items()))
+            self.log.info(
+                f"{self.cfg.id} - {seq_name} - {stage} | {i:4d}/{n} | {terms}"
+            )
+        self.log.info(
+            f"{self.cfg.id} - {seq_name} - {stage} | done {n} iters in "
+            f"{convert_sec_to_time(elapsed)} | loss {loss_hist[0]:.3f} -> {loss_hist[-1]:.3f}"
+        )
+
+    # ---------------------------------------------------------------- output
+
+    def _build_output(self, data, derived, params, const) -> dict:
+        """Reference-compatible out_dict (consumed by the visualizer,
+        evaluator and pickle caching; reference returns tensor_to_numpy(data)
+        at :588)."""
+        bp: BatchedPersons = data["bp"]
+        P, T = bp.num_persons, bp.num_fr
+        d = {k: np.asarray(v) for k, v in derived.items()}
+        person_data = {}
+        for p, pid in enumerate(bp.person_ids):
+            person_data[pid] = {
+                "visible": bp.visible[p], "visible_orig": bp.visible_orig[p],
+                "fr_start": int(bp.fr_start[p]), "fr_end": int(bp.fr_end[p]),
+                "exist_frames": bp.exist_frames[p],
+                "vis_frames": bp.visible[p] == 1,
+                "invis_frames": bp.visible[p] == 0,
+                "max_len": T, "frames": np.arange(T), "scale": None,
+                "smpl_pose": np.asarray(const["smpl_pose"][p]),
+                "smpl_beta": bp.smpl_beta[p],
+                "smpl_orient_cam": bp.smpl_orient_cam[p],
+                "root_trans_cam": bp.root_trans_cam[p],
+                "kp_2d": bp.kp_2d[p], "kp_2d_score": bp.kp_2d_score[p],
+                "cam_K": bp.cam_K[p],
+                "smpl_orient_world": d["smpl_orient_world"][p],
+                "root_trans_world": d["root_trans_world"][p],
+                "smpl_orient_world_base": np.asarray(const["smpl_orient_world_base"][p]),
+                "root_trans_world_base": np.asarray(const["root_trans_world_base"][p]),
+                "traj_local": d["traj_local"][p],
+                "kp_2d_pred": d["kp_2d_pred"][p],
+            }
+        return {
+            "seq_name": data["seq_name"],
+            "person_data": person_data,
+            "seq_len": T,
+            "fr_num_persons": np.asarray(const["fr_num_persons"]),
+            "cam_pose": d["cam_pose"],
+            "cam_pose_inv": d["cam_pose_inv"],
+            "gt": data["gt"], "gt_meta": data["gt_meta"],
+            "meta": {"algo": "global_recon", "num_fr": T},
+        }

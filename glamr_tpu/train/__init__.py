@@ -1,0 +1,10 @@
+"""pjit data-parallel training loops for the two CVAEs."""
+from .trainer import (
+    TrainState,
+    make_infiller_train_step,
+    make_trajpred_train_step,
+    init_infiller,
+    init_trajpred,
+)
+
+__all__ = [k for k in dir() if not k.startswith("_")]

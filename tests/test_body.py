@@ -134,3 +134,18 @@ class TestMaps:
         assert m[:, 0].max() < 26 and m[:, 1].max() < 24
         # pelvis maps to pelvis
         assert [0, 0] in m.tolist()
+
+
+class TestJointsFast:
+    def test_matches_full_forward(self, smpl, rng):
+        B = 5
+        orient = jnp.asarray(rng.normal(0, 0.4, (B, 3)).astype(np.float32))
+        pose = jnp.asarray(rng.normal(0, 0.3, (B, 69)).astype(np.float32))
+        betas = jnp.asarray(rng.normal(0, 1.0, (B, 10)).astype(np.float32))
+        trans = jnp.asarray(rng.normal(0, 1.0, (B, 3)).astype(np.float32))
+        full = smpl.forward(orient, pose, betas, root_trans=trans)
+        fast = smpl.joints_fast(orient, pose, betas, root_trans=trans)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(full.joints), atol=2e-5)
+
+    def test_subset_is_small(self, smpl):
+        assert smpl._sub_v_template.shape[0] < smpl.model.num_verts

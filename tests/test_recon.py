@@ -1,0 +1,233 @@
+"""Stage-4 global reconstruction tests: data init, forward graph, losses,
+and an end-to-end synthetic optimization run (loss must decrease, output
+schema must match the reference's out_dict contract)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from glamr_tpu.body import get_smpl, smpl_to_body26fk_map
+from glamr_tpu.recon import (
+    GlobalReconOptimizer,
+    ReconFlags,
+    compute_losses,
+    gmof,
+    init_batched,
+    recon_forward,
+)
+from glamr_tpu.transforms import angle_axis_to_rotation_matrix
+
+
+def make_synthetic_in_dict(rng, T=25, persons=(True, False)):
+    """Build a HybrIK pose.pkl-style in_dict from a synthetic scene.
+
+    persons: tuple of "fully visible?" flags; invisible persons get an
+    occlusion gap in the middle of the sequence.
+    """
+    smpl = get_smpl("body26fk", synthetic=True)
+    K = np.array([[500.0, 0, 128], [0, 500.0, 128], [0, 0, 1]], np.float32)
+    m = smpl_to_body26fk_map()  # (22, 2) body26fk idx <- smpl idx
+
+    est = {}
+    for pid, fully_vis in enumerate(persons):
+        exist = np.ones(T, bool)
+        if not fully_vis:
+            exist[8:13] = False
+        Tv = int(exist.sum())
+
+        # camera-frame pose: person ~3m in front of the camera, upright
+        # (base orient), with slow drift + pose noise
+        base_aa = np.array([1.2092, 1.2092, 1.2092], np.float32)  # ~base quat
+        orient = base_aa[None] + rng.normal(0, 0.05, (Tv, 3)).astype(np.float32)
+        body_pose = rng.normal(0, 0.12, (Tv, 69)).astype(np.float32)
+        beta = np.zeros((Tv, 10), np.float32)
+        drift = np.linspace(0, 0.5, Tv, dtype=np.float32)
+        root = np.stack(
+            [0.4 * pid + drift * 0.3, 0.1 * np.ones(Tv, np.float32),
+             3.0 + drift], axis=-1,
+        )
+
+        joints = np.asarray(
+            smpl.joints_fast(jnp.asarray(orient), jnp.asarray(body_pose),
+                             jnp.asarray(beta), root_trans=jnp.asarray(root))
+        )  # (Tv, 26, 3) camera frame
+        proj = joints / joints[..., 2:3]
+        kp26 = np.einsum("ij,tnj->tni", K, proj)[..., :2]
+        kp24 = np.zeros((Tv, 24, 2), np.float32)
+        kp24[:, m[:, 1]] = kp26[:, m[:, 0]]  # scatter into smpl-ordered slots
+        kp24 += rng.normal(0, 1.0, kp24.shape)  # pixel noise
+
+        rotmats = np.asarray(angle_axis_to_rotation_matrix(
+            jnp.asarray(np.concatenate([orient[:, None], body_pose.reshape(Tv, 23, 3)],
+                                       axis=1))
+        ))
+        est[pid] = {
+            "smpl_pose_quat_wroot": rotmats,
+            "smpl_beta": beta,
+            "root_trans": root,
+            "kp_2d": kp24,
+            "cam_K": np.tile(K, (Tv, 1, 1)),
+            "bboxes_dict": {"exist": exist.astype(np.float32)},
+        }
+    return {"est": est, "gt": {}, "gt_meta": {}, "seq_name": "synthetic"}
+
+
+class FakeCfg:
+    """Minimal Config stand-in for tests."""
+
+    id = "test_cfg"
+
+    def __init__(self, stage_specs, specs=None):
+        self.opt_stage_specs = stage_specs
+        self._specs = specs or {}
+
+    def get(self, k, default=None):
+        if k == "grecon_model_specs":
+            return self._specs
+        return default
+
+
+STAGE = {
+    "init_opt": {
+        "opt_lr": 1.0e-2,
+        "opt_niters": 40,
+        "opt_variables": ["cam", "local_xy", "local_heading", "world_dheading",
+                          "local_dxy", "local_rot", "local_z"],
+        "loss_cfg": {
+            "kp_2d": {"weight": 1.0, "min_conf": 0.3},
+            "kp_2d_dist": {"weight": 1.0, "min_conf": 0.3, "monitor_only": True},
+            "cam_traj_rot": {"rot_type": "6d", "weight": 1.0e5},
+            "traj_rot_smoothness": {"weight": 1.0e3},
+            "rel_transform": {"trans_weight": 0.0, "weight": 200},
+            "local_traj_dxy_reg": {"weight": 3.0e2},
+            "local_traj_dheading_reg_new": {"weight": 3.0e3},
+            "local_traj_rot_reg": {"weight": 5.0e3},
+            "local_traj_z_reg": {"weight": 1.0e2},
+            "cam_inv_trans_residual_reg": {"weight": 1.0e2},
+            "cam_inv_rot_smoothness": {"weight": 1.0e3},
+            "cam_origin_smoothness": {"weight": 1.0e3},
+            "cam_up_reg": {"weight": 1.0e2},
+        },
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def in_dict():
+    return make_synthetic_in_dict(np.random.default_rng(0))
+
+
+@pytest.fixture(scope="module")
+def smpl_syn():
+    return get_smpl("body26fk", synthetic=True)
+
+
+class TestDataInit:
+    def test_batched_shapes(self, in_dict):
+        bp = init_batched(in_dict)
+        assert bp.num_persons == 2 and bp.num_fr == 25
+        assert bp.smpl_pose.shape == (2, 25, 69)
+        assert bp.kp_2d.shape == (2, 25, 26, 2)
+        # occluded person: invisible frames interpolated, visible preserved
+        assert bp.fr_start[1] == 0 and bp.fr_end[1] == 25
+        assert np.isfinite(bp.smpl_pose).all()
+
+    def test_visibility_masks(self, in_dict):
+        bp = init_batched(in_dict)
+        assert bp.visible[0].sum() == 25
+        assert bp.visible[1].sum() <= 20
+        assert (bp.fr_num_persons >= 1).all()
+
+
+class TestLosses:
+    def test_gmof_bounded(self):
+        x = jnp.array([0.0, 1e6])
+        out = np.asarray(gmof(x, 100.0))
+        assert out[0] == 0 and out[1] <= 100.0**2 + 1
+
+    def test_forward_and_losses_finite(self, in_dict, smpl_syn):
+        cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        data = opt.init_data(in_dict)
+        params, const = data["params"], data["const"]
+        derived = recon_forward(params, const, smpl_syn, opt.flags, "hold")
+        merged = {**const, **params, **derived}
+        total, uw = compute_losses(merged, STAGE["init_opt"]["loss_cfg"])
+        assert np.isfinite(float(total))
+        for k, v in uw.items():
+            assert np.isfinite(float(v)), k
+
+    def test_zero_residuals_reproduce_base(self, in_dict, smpl_syn):
+        """With zero residuals the composed world traj equals the base."""
+        cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        data = opt.init_data(in_dict)
+        derived = recon_forward(data["params"], data["const"], smpl_syn,
+                                opt.flags, "hold")
+        base_t = np.asarray(data["const"]["root_trans_world_base"])
+        got_t = np.asarray(derived["root_trans_world"])
+        np.testing.assert_allclose(got_t, base_t, atol=1e-3)
+
+
+class TestOptimize:
+    def test_end_to_end(self, in_dict, smpl_syn):
+        cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        out = opt.optimize(in_dict)
+
+        # schema: reference out_dict contract
+        assert set(out) >= {"seq_name", "person_data", "cam_pose",
+                            "cam_pose_inv", "meta", "seq_len"}
+        assert out["cam_pose"].shape == (25, 4, 4)
+        for pid, pd in out["person_data"].items():
+            assert pd["smpl_orient_world"].shape == (25, 3)
+            assert pd["root_trans_world"].shape == (25, 3)
+            assert pd["kp_2d_pred"].shape == (25, 26, 2)
+            assert np.isfinite(pd["root_trans_world"]).all()
+
+    def test_loss_decreases(self, in_dict, smpl_syn):
+        cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        data = opt.init_data(in_dict)
+        opt._param_keys = list(data["params"].keys())
+        ss = STAGE["init_opt"]
+        run = opt._stage_fn("init_opt", "param", opt._param_mask(ss["opt_variables"]),
+                            float(ss["opt_lr"]), int(ss["opt_niters"]), ss["loss_cfg"])
+        # seed cam params like optimize() does
+        from glamr_tpu.transforms import rotmat_to_rot6d
+        cam = data["const"]["cam_pose_init"]
+        data["params"]["cam_rot_6d_fix"] = rotmat_to_rot6d(cam[:1, :3, :3])
+        data["params"]["cam_trans_fix"] = cam[:1, :3, 3]
+        _, (hist, uw_hist) = run(data["params"], data["const"])
+        hist = np.asarray(hist)
+        assert np.isfinite(hist).all()
+        assert hist[-1] < hist[0], f"loss did not decrease: {hist[0]} -> {hist[-1]}"
+        # kp starts near-perfect by construction (zero residuals reproduce the
+        # estimates); it may trade off against smoothness but must stay tight
+        kp_dist = np.asarray(uw_hist["kp_2d_dist"])
+        assert kp_dist[-1] < 20.0
+
+
+class TestShippedConfigs:
+    """The six shipped grecon YAML configs must load and drive optimize()."""
+
+    def test_all_configs_load(self):
+        from glamr_tpu.utils import Config
+        for cid in ["glamr_static", "glamr_dynamic", "glamr_static_multi",
+                    "glamr_dynamic_multi", "glamr_3dpw", "glamr_h36m"]:
+            cfg = Config(cid)
+            assert "opt_stage_specs" in cfg
+            for stage, ss in cfg.opt_stage_specs.items():
+                assert {"opt_lr", "opt_niters", "opt_variables", "loss_cfg"} <= set(ss)
+
+    def test_multi_stage_optimize(self, in_dict, smpl_syn):
+        """Two-stage config (like glamr_static_multi) runs both stages."""
+        from glamr_tpu.utils import Config
+        cfg = Config("glamr_static_multi")
+        # shrink iteration counts for test speed; same graph
+        for ss in cfg.opt_stage_specs.values():
+            ss["opt_niters"] = 5
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        out = opt.optimize(in_dict)
+        assert np.isfinite(out["cam_pose"]).all()
+        for pd in out["person_data"].values():
+            assert np.isfinite(pd["root_trans_world"]).all()
