@@ -24,6 +24,13 @@ import numpy as np
 
 
 def main():
+    import jax
+
+    # persistent compile cache: production sweeps and repeat bench runs
+    # skip the (minutes-long over the TPU tunnel) compile entirely
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _synthetic_in_dict
     from glamr_tpu.body import get_smpl
     from glamr_tpu.recon import GlobalReconOptimizer

@@ -1,0 +1,112 @@
+"""Benchmark sweep: run global recon over 3DPW / Dynamic-H36M test
+sequences x seeds (reference: global_recon/run_dataset.py — note the
+rebuild iterates ALL sequences; the reference snapshot had leftover debug
+slicing at :67/:41).
+
+Expects preprocessed datasets (see glamr_tpu.preprocess):
+  datasets/3DPW/processed_v1/pose/<seq>.pkl     (gt person_data + meta)
+  <image_dir> per sequence for pose estimation (or cached pose.pkl).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+# the benchmark sequence lists are part of the eval contract
+# (reference run_dataset.py:18-24)
+TEST_SEQUENCES = {
+    "3dpw": [
+        "downtown_arguing_00", "downtown_bar_00", "downtown_bus_00",
+        "downtown_cafe_00", "downtown_car_00", "downtown_crossStreets_00",
+        "downtown_downstairs_00", "downtown_enterShop_00",
+        "downtown_rampAndStairs_00", "downtown_runForBus_00",
+        "downtown_runForBus_01", "downtown_sitOnStairs_00",
+        "downtown_stairs_00", "downtown_upstairs_00", "downtown_walkBridge_01",
+        "downtown_walkUphill_00", "downtown_walking_00", "downtown_warmWelcome_00",
+        "downtown_weeklyMarket_00", "downtown_windowShopping_00",
+        "flat_guitar_01", "flat_packBags_00", "office_phoneCall_00",
+        "outdoors_fencing_01",
+    ],
+    "h36m": [f"s_09_act_{a:02d}_subact_{sa:02d}_ca_01"
+             for a in range(2, 17) for sa in [1, 2]] +
+            [f"s_11_act_{a:02d}_subact_{sa:02d}_ca_01"
+             for a in range(2, 17) for sa in [1, 2]],
+}
+
+DATASET_DIRS = {
+    "3dpw": {"root": "datasets/3DPW", "gt": "processed_v1/pose",
+             "bbox": "processed_v1/bbox", "images": "imageFiles"},
+    "h36m": {"root": "datasets/H36M/occluded_v2", "gt": "pose",
+             "bbox": "bbox", "images": "images"},
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", default="3dpw", choices=["3dpw", "h36m"])
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--out_dir", default=None)
+    parser.add_argument("--seeds", default="1")
+    parser.add_argument("--sequences", default=None,
+                        help="comma-separated subset; default = full test set")
+    parser.add_argument("--cached", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from ..models import load_joint_model
+    from ..pose_est import load_pose_pkl, run_pose_est_on_video
+    from ..recon import GlobalReconOptimizer
+    from ..utils import Config, create_logger
+
+    cfg_id = args.cfg or f"glamr_{args.dataset}"
+    out_dir = args.out_dir or f"out/glamr_tpu/{cfg_id}"
+    cfg = Config(cfg_id, out_dir=out_dir, create_dirs=True)
+    log = create_logger(os.path.join(out_dir, "log.txt"))
+    seeds = [int(s) for s in str(args.seeds).split(",")]
+    seqs = (args.sequences.split(",") if args.sequences
+            else TEST_SEQUENCES[args.dataset])
+    dirs = DATASET_DIRS[args.dataset]
+
+    joint_model = None
+    specs = cfg.get("grecon_model_specs", {})
+    if specs.get("flag_infer_motion_traj") and "motion_traj_cfg" in specs:
+        try:
+            joint_model = load_joint_model(Config(specs["motion_traj_cfg"]))
+        except FileNotFoundError as e:
+            log.info(f"joint model unavailable ({e}); using est-derived traj")
+    grecon = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log)
+
+    for seq in seqs:
+        gt_file = os.path.join(dirs["root"], dirs["gt"], f"{seq}.pkl")
+        if not os.path.isfile(gt_file):
+            log.info(f"skip {seq}: missing {gt_file}")
+            continue
+        with open(gt_file, "rb") as f:
+            gt_data = pickle.load(f)
+        pose_est_dir = os.path.join(out_dir, "pose_est", seq)
+        pose_pkl = os.path.join(pose_est_dir, "pose.pkl")
+        if not os.path.isfile(pose_pkl):
+            bbox_file = os.path.join(dirs["root"], dirs["bbox"], f"{seq}.pkl")
+            image_dir = os.path.join(dirs["root"], dirs["images"], seq)
+            pose_pkl = run_pose_est_on_video(
+                None, image_dir, pose_est_dir,
+                bbox_file=bbox_file if os.path.isfile(bbox_file) else None,
+                cached=bool(args.cached))
+        est = load_pose_pkl(pose_pkl)
+        in_dict = {"est": est, "gt": gt_data["person_data"],
+                   "gt_meta": gt_data.get("meta", {}), "seq_name": seq}
+        for seed in seeds:
+            out_file = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")
+            if args.cached and os.path.isfile(out_file):
+                continue
+            np.random.seed(seed)
+            out_dict = grecon.optimize(in_dict)
+            with open(out_file, "wb") as f:
+                pickle.dump(out_dict, f)
+            log.info(f"{seq} seed {seed}: wrote {out_file}")
+
+
+if __name__ == "__main__":
+    main()

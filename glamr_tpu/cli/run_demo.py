@@ -1,0 +1,97 @@
+"""End-to-end video demo: pose est -> global recon -> videos.
+
+Reference flow: global_recon/run_demo.py:20-120 (config glob, pose-est
+subprocess, GlobalReconOptimizer.optimize per seed, pickle caching,
+GReconVisualizer renders).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default="glamr_static")
+    parser.add_argument("--video_path", default=None)
+    parser.add_argument("--out_dir", default="out/glamr_tpu/demo")
+    parser.add_argument("--pose_est_dir", default=None)
+    parser.add_argument("--seeds", default="1", help="comma-separated")
+    parser.add_argument("--cached", type=int, default=1)
+    parser.add_argument("--vis", type=int, default=1)
+    parser.add_argument("--multi", action="store_true")
+    parser.add_argument("--synthetic_pose_est", action="store_true",
+                        help="generate a synthetic pose.pkl (no HybrIK needed)")
+    parser.add_argument("--num_fr", type=int, default=150,
+                        help="frames for --synthetic_pose_est without video")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from ..models import load_joint_model
+    from ..pose_est import load_pose_pkl, run_pose_est_on_video, synthetic_pose_est
+    from ..recon import GlobalReconOptimizer
+    from ..utils import Config, create_logger
+
+    cfg = Config(args.cfg, out_dir=args.out_dir, create_dirs=True)
+    log = create_logger(os.path.join(args.out_dir, "log.txt"))
+    seeds = [int(s) for s in str(args.seeds).split(",")]
+
+    seq_name = (os.path.splitext(os.path.basename(args.video_path))[0]
+                if args.video_path else "synthetic")
+    pose_est_dir = args.pose_est_dir or os.path.join(args.out_dir, "pose_est", seq_name)
+
+    pose_pkl = os.path.join(pose_est_dir, "pose.pkl")
+    if args.cached and os.path.isfile(pose_pkl):
+        est = load_pose_pkl(pose_pkl)
+    elif args.synthetic_pose_est:
+        est = synthetic_pose_est(args.num_fr, num_persons=2 if args.multi else 1,
+                                 pose_est_dir=pose_est_dir)
+    else:
+        pose_pkl = run_pose_est_on_video(
+            args.video_path, os.path.join(pose_est_dir, "frames"),
+            pose_est_dir, cached=bool(args.cached), multi=args.multi)
+        est = load_pose_pkl(pose_pkl)
+
+    joint_model = None
+    if cfg.get("grecon_model_specs", {}).get("flag_infer_motion_traj") and \
+            "motion_traj_cfg" in cfg.get("grecon_model_specs", {}):
+        try:
+            joint_model = load_joint_model(
+                Config(cfg.grecon_model_specs["motion_traj_cfg"]))
+        except FileNotFoundError as e:
+            log.info(f"joint model unavailable ({e}); using est-derived traj")
+
+    grecon = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log)
+    in_dict = {"est": est, "gt": {}, "gt_meta": {}, "seq_name": seq_name}
+
+    outs = {}
+    for seed in seeds:
+        out_file = os.path.join(args.out_dir, f"{seq_name}_seed{seed}.pkl")
+        if args.cached and os.path.isfile(out_file):
+            with open(out_file, "rb") as f:
+                outs[seed] = pickle.load(f)
+            continue
+        np.random.seed(seed)
+        out_dict = grecon.optimize(in_dict)
+        with open(out_file, "wb") as f:
+            pickle.dump(out_dict, f)
+        outs[seed] = out_dict
+        log.info(f"seed {seed}: wrote {out_file}")
+
+    if args.vis:
+        from ..vis import GReconVisualizer
+
+        out_dict = outs[seeds[0]]
+        for coord in ["world", "cam_in_world"]:
+            v = GReconVisualizer(out_dict, smpl=grecon.smpl, coord=coord,
+                                 background_video=args.video_path)
+            path = os.path.join(args.out_dir, f"{seq_name}_{coord}.mp4")
+            v.save_animation_as_video(path)
+            log.info(f"wrote {path}")
+    return outs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""CVAE training harness (reference: motion_infiller/train.py,
+traj_pred/train.py — Lightning DDP there; jitted DP-mesh steps here with
+versioned checkpoint dirs, best/every-N checkpoints, per-epoch text log).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_infiller_batch(ds, rng, batch_size):
+    b = ds.batch(rng, batch_size)
+    return {
+        "in_body_pose": b["in_body_pose"],
+        "gt_body_pose": b["gt_body_pose"],
+        "frame_mask": b["frame_mask"],
+    }
+
+
+def build_trajpred_batch(ds, rng, batch_size, smpl):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..transforms import angle_axis_to_quaternion
+
+    b = ds.batch(rng, batch_size)
+    if "joint_pos_noshape" in b:
+        joint_pos = b["joint_pos_noshape"]
+    else:
+        joint_pos = np.asarray(
+            smpl.joint_pos_from_body_pose(jnp.asarray(b["gt_body_pose"])))
+    orient_q = np.asarray(
+        angle_axis_to_quaternion(jnp.asarray(b["pose"][..., :3])))
+    return {
+        "joint_pos": joint_pos,
+        "trans": b["trans"],
+        "orient_q": orient_q,
+        "frame_loss_mask": b["frame_loss_mask"][..., 0],
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="motion_infiller",
+                        choices=["motion_infiller", "traj_pred"])
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--steps_per_epoch", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--resume", default=None, help="checkpoint path")
+    parser.add_argument("--ndevices", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from ..body.smpl import get_smpl
+    from ..data import AMASSDataset, synthetic_amass_data
+    from ..models import MotionInfillerVAE, TrajPredVAE
+    from ..models.configs import MotionInfillerConfig, TrajPredConfig
+    from ..parallel import get_mesh, replicate, shard_batch
+    from ..train import (init_infiller, init_trajpred,
+                         make_infiller_eval_step, make_infiller_train_step,
+                         make_trajpred_eval_step, make_trajpred_train_step)
+    from ..train.trainer import make_tx
+    from ..utils import Config, create_logger
+    from ..utils.checkpoint import load_checkpoint, save_checkpoint
+    from ..utils.tools import find_last_version
+
+    cfg = Config(args.cfg or (
+        "motion_infiller_demo" if args.model == "motion_infiller"
+        else "traj_pred_demo"))
+    seed = args.seed if args.seed is not None else cfg.get("seed", 1)
+    epochs = args.epochs or int(cfg.get("max_epochs", 100))
+    batch_size = args.batch_size or int(cfg.get("batch_size", 64))
+    seq_len = int(cfg.get("seq_len", 50))
+    lr = float(cfg.get("lr", 1e-3))
+    clip = float(cfg.get("gradient_clip_val", 5.0))
+
+    # versioned run dir (reference train.py:75-88)
+    base = os.path.join(cfg.get("results_root_dir", "results"), cfg.id)
+    version = find_last_version(base) + 1
+    run_dir = os.path.join(base, f"version_{version}")
+    cp_dir = os.path.join(run_dir, "checkpoints")
+    os.makedirs(cp_dir, exist_ok=True)
+    log = create_logger(os.path.join(run_dir, "log.txt"))
+    log.info(f"training {args.model} ({cfg.id}) -> {run_dir}")
+
+    # data
+    if args.synthetic_data:
+        data, jpos = synthetic_amass_data(16)
+        train_ds = AMASSDataset(
+            data, jpos, seq_len=seq_len,
+            seq_sampling_method=cfg.get("seq_sampling_method", "uniform"),
+            data_mask_methods=cfg.get("data_mask_methods"),
+            pose_gaussian_smooth=cfg.get("pose_gaussian_smooth"))
+        val_ds = AMASSDataset(data, jpos, seq_len=seq_len,
+                              data_mask_methods=cfg.get("data_mask_methods"))
+    else:
+        amass_dir = cfg.get("amass_dir", "datasets/amass_processed/v1")
+        train_ds = AMASSDataset.from_dir(
+            amass_dir, "train", seq_len=seq_len,
+            ntime_per_epoch=cfg.get("train_ntime_per_epoch", 1e6),
+            seq_sampling_method=cfg.get("seq_sampling_method", "uniform"),
+            data_mask_methods=cfg.get("data_mask_methods"),
+            pose_gaussian_smooth=cfg.get("pose_gaussian_smooth"))
+        val_ds = AMASSDataset.from_dir(
+            amass_dir, "test", seq_len=seq_len,
+            ntime_per_epoch=cfg.get("val_ntime_per_epoch", 1e5),
+            data_mask_methods=cfg.get("data_mask_methods"))
+
+    mesh = get_mesh(args.ndevices)
+    ndev = mesh.devices.size
+    batch_size = max(batch_size // ndev, 1) * ndev  # divisible by mesh
+    steps = args.steps_per_epoch or max(len(train_ds) // batch_size, 1)
+    tx = make_tx(lr, clip)
+    rng = jax.random.PRNGKey(seed)
+    smpl = get_smpl("body26fk")
+
+    if args.model == "motion_infiller":
+        mcfg = MotionInfillerConfig.from_dict(cfg.model_specs)
+        model = MotionInfillerVAE(mcfg)
+        state = init_infiller(model, tx, rng)
+        step_fn = make_infiller_train_step(model, tx, cfg.loss_cfg, mesh)
+        eval_fn = make_infiller_eval_step(model, cfg.loss_cfg, mesh)
+        make_batch = lambda r: build_infiller_batch(train_ds, r, batch_size)
+        make_val = lambda r: build_infiller_batch(val_ds, r, batch_size)
+    else:
+        tcfg = TrajPredConfig.from_dict(cfg.model_specs, seq_len=seq_len)
+        model = TrajPredVAE(tcfg)
+        state = init_trajpred(model, tx, rng, seq_len=seq_len)
+        step_fn = make_trajpred_train_step(model, tx, cfg.loss_cfg, mesh)
+        eval_fn = make_trajpred_eval_step(model, cfg.loss_cfg, mesh)
+        make_batch = lambda r: build_trajpred_batch(train_ds, r, batch_size, smpl)
+        make_val = lambda r: build_trajpred_batch(val_ds, r, batch_size, smpl)
+
+    if args.resume:
+        state = load_checkpoint(args.resume)
+        log.info(f"resumed from {args.resume}")
+    state = replicate(state, mesh)
+
+    save_n = int(cfg.get("save_n_epochs", 10))
+    best_val = float("inf")
+    np_rng = np.random.default_rng(seed)
+    t_start = time.time()
+    for epoch in range(epochs):
+        t0 = time.time()
+        train_loss = 0.0
+        for it in range(steps):
+            batch = shard_batch(make_batch(np_rng), mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, replicate(sub, mesh))
+            train_loss += float(metrics["loss"])
+        train_loss /= steps
+
+        # quick val pass (posterior-mode loss on held-out windows)
+        vbatch = shard_batch(make_val(np_rng), mesh)
+        rng, sub = jax.random.split(rng)
+        vmetrics = eval_fn(state.params, vbatch, replicate(sub, mesh))
+        val_loss = float(vmetrics["loss"])
+
+        dt = time.time() - t0
+        eta = dt * (epochs - epoch - 1)
+        log.info(f"epoch {epoch:4d}/{epochs} | train {train_loss:.4f} | "
+                 f"val {val_loss:.4f} | {dt:.1f}s/epoch | ETA {eta/60:.1f}m")
+
+        host_state = jax.device_get(state)
+        if val_loss < best_val:
+            best_val = val_loss
+            save_checkpoint(os.path.join(cp_dir, "best.pkl"), host_state)
+        if (epoch + 1) % save_n == 0 or epoch == epochs - 1:
+            save_checkpoint(os.path.join(cp_dir, f"epoch={epoch}.pkl"), host_state)
+    log.info(f"done in {(time.time()-t_start)/60:.1f}m; best val {best_val:.4f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -204,7 +204,11 @@ class Evaluator:
         return np.concatenate(vals) if vals else np.zeros(0), n
 
     def compute_sequence_metrics(self, data: dict, name=None, accumulate=True):
-        prepared = self.prepare_seq(data)
+        import jax
+
+        # float32 matmuls: metric-grade accuracy (TPU defaults to bf16)
+        with jax.default_matmul_precision("float32"):
+            prepared = self.prepare_seq(data)
         md = defaultdict(dict)
         md["seq_len"] = data.get("seq_len")
         M = md["metrics"]

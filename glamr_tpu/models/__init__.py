@@ -2,7 +2,7 @@
 motion_infiller/models/__init__.py:5-7, traj_pred/models/__init__.py:4-6)."""
 from .configs import MotionInfillerConfig, TrajPredConfig, TransformerSpec
 from .dist import Normal
-from .joint_model import JointModel
+from .joint_model import JointModel, load_joint_model
 from .motion_infiller import (
     MotionInfillerVAE,
     infill_multi_step,

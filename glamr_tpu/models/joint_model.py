@@ -23,6 +23,76 @@ from .motion_infiller import MotionInfillerVAE, infill_multi_step, num_latents
 from .traj_pred import TrajPredVAE, predict_multi_step
 
 
+def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
+                     require_checkpoints: bool = False):
+    """Build a JointModel from a joint_motion_traj config (reference
+    MotionTrajJointModel.__init__/load_* :17-71): resolves the two model
+    configs, initializes the flax modules, and loads the latest trained
+    checkpoints from results_root_dir/<cfg>/version_N/checkpoints when
+    present (randomly-initialized params otherwise, unless
+    require_checkpoints).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..body.smpl import get_smpl
+    from ..utils.checkpoint import load_checkpoint
+    from ..utils.config import Config
+    from ..utils.tools import find_last_version, get_checkpoint_path
+
+    specs = mt_cfg.model_specs
+    mf_yaml = Config(specs["mfiller_cfg"])
+    tp_yaml = Config(specs["trajpred_cfg"])
+    mcfg = MotionInfillerConfig.from_dict(mf_yaml.model_specs)
+    tcfg = TrajPredConfig.from_dict(tp_yaml.model_specs,
+                                    seq_len=tp_yaml.get("seq_len", 100))
+    mfiller = MotionInfillerVAE(mcfg)
+    trajpred = TrajPredVAE(tcfg)
+
+    rng = jax.random.PRNGKey(rng_seed)
+    W = mcfg.window_len
+    mf_params = mfiller.init(rng, jnp.zeros((1, W, 69)), jnp.zeros((1, W, 69)),
+                             jnp.ones((1, W)))
+    q0 = jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, 8, 1))
+    tp_params = trajpred.init(rng, jnp.zeros((1, 8, 69)), jnp.zeros((1, 8, 3)), q0)
+
+    def latest_cp(yaml_cfg, cp_sel):
+        base = os.path.join(yaml_cfg.get("results_root_dir", "results"),
+                            yaml_cfg.id)
+        v = find_last_version(base)
+        if v < 0:
+            return None
+        return get_checkpoint_path(
+            os.path.join(base, f"version_{v}", "checkpoints"), cp_sel)
+
+    for name, params_ref, yaml_cfg, sel in [
+        ("mfiller", "mf", mf_yaml, specs.get("mfiller_cp", "best")),
+        ("trajpred", "tp", tp_yaml, specs.get("trajpred_cp", "best")),
+    ]:
+        cp = latest_cp(yaml_cfg, sel)
+        if cp is None:
+            if require_checkpoints:
+                raise FileNotFoundError(f"no checkpoint for {name} ({yaml_cfg.id})")
+        else:
+            state = load_checkpoint(cp)
+            loaded = state["params"] if isinstance(state, dict) and "params" in state \
+                else getattr(state, "params", state)
+            if name == "mfiller":
+                mf_params = loaded
+            else:
+                tp_params = loaded
+
+    return JointModel(
+        mfiller=mfiller, mfiller_params=mf_params,
+        trajpred=trajpred, trajpred_params=tp_params,
+        smpl=smpl or get_smpl("body26fk"),
+        multi_step_mfiller=mt_cfg.get("multi_step_mfiller", True),
+        multi_step_trajpred=mt_cfg.get("multi_step_trajpred", False),
+    )
+
+
 @dataclass
 class JointModel:
     """Bundles the two CVAEs, their params and an SMPL instance."""
@@ -52,7 +122,18 @@ class JointModel:
         init_xy: Optional[jax.Array] = None,
         init_heading: Optional[jax.Array] = None,
     ) -> dict:
-        """Full generative pass. Differentiable w.r.t. both eps arrays."""
+        """Full generative pass. Differentiable w.r.t. both eps arrays.
+
+        float32 matmuls: the decoded trajectory feeds stage-4 keypoint
+        residuals, where TPU bf16 rotation chains cost >100 px (see
+        recon.forward.recon_forward).
+        """
+        with jax.default_matmul_precision("float32"):
+            return self._infer(in_body_pose, frame_mask, motion_eps, traj_eps,
+                               init_xy, init_heading)
+
+    def _infer(self, in_body_pose, frame_mask, motion_eps, traj_eps,
+               init_xy=None, init_heading=None) -> dict:
         if self.multi_step_mfiller:
             body_pose = infill_multi_step(
                 self.mfiller, self.mfiller_params, in_body_pose, frame_mask, motion_eps

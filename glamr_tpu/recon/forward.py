@@ -218,7 +218,21 @@ def compose_camera(params, const, flags: ReconFlags, cam_mode: str,
 def recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
                   cam_mode: str) -> dict:
     """The complete differentiable graph: residuals -> world traj -> camera
-    -> SMPL joints -> 2D keypoints (reference forward :428-531)."""
+    -> SMPL joints -> 2D keypoints (reference forward :428-531).
+
+    Matmul precision is pinned to float32: on TPU the MXU defaults to
+    bfloat16, which is fine for the CVAE transformers but loses ~1e-2 on
+    chained 3x3 rotation compositions and the pinhole projection —
+    enough to corrupt keypoint residuals by >100 px at f=1000. The
+    matmuls here are tiny (3x3/4x4 chains + subset skinning), so full
+    precision costs almost nothing.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _recon_forward(params, const, smpl, flags, cam_mode)
+
+
+def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
+                   cam_mode: str) -> dict:
     orient_w, trans_w, traj_local = world_pose_from_traj(params, const, flags)
     person_tf_world = make_transform(orient_w, trans_w, rot_type="axis_angle")
 

@@ -94,6 +94,14 @@ class GlobalReconOptimizer:
         self.opt_stage_specs = cfg.opt_stage_specs
         self._stage_cache: dict = {}
         self._fwd_cache: dict = {}
+        if self.flag_opt_motion_latent or self.flag_opt_traj_latent:
+            # CVAE-in-the-loop latent optimization (reference :434-445) is
+            # not wired into the compiled stage yet; fail loudly rather
+            # than silently ignoring the latents. No shipped config
+            # enables these flags.
+            raise NotImplementedError(
+                "flag_opt_motion_latent / flag_opt_traj_latent are not yet "
+                "supported in the compiled stage-4 optimizer")
         if self.flag_infer_motion_traj and self.joint_model is None:
             self.log.info(
                 "flag_infer_motion_traj set but no joint model provided — "
@@ -225,7 +233,18 @@ class GlobalReconOptimizer:
         return traj_local_pred, orient_w, trans_w
 
     def init_data(self, in_dict: dict) -> dict:
-        """Host-side data init -> {'const', 'params', 'bp', meta...}."""
+        """Host-side data init -> {'const', 'params', 'bp', meta...}.
+
+        Runs on the CPU backend: this is once-per-sequence prep made of
+        many small ops — dispatching them to a (possibly remote) TPU
+        costs a tunnel round-trip + compile each. The compiled stage
+        pulls the resulting arrays to the accelerator in one transfer.
+        """
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return self._init_data(in_dict)
+
+    def _init_data(self, in_dict: dict) -> dict:
         bp = init_batched(
             in_dict,
             flag_filter_pose=self.flag_filter_pose,
@@ -487,7 +506,10 @@ class GlobalReconOptimizer:
 
     def optimize(self, in_dict: dict, continue_opt: bool = False) -> dict:
         data = in_dict if continue_opt else self.init_data(in_dict)
-        const, params = data["const"], data["params"]
+        # one bulk host->accelerator transfer (init_data builds on CPU)
+        dev = jax.devices()[0]
+        const = jax.device_put(data["const"], dev)
+        params = jax.device_put(data["params"], dev)
         self._param_keys = list(params.keys())
 
         for stage, ss in self.opt_stage_specs.items():

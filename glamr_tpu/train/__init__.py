@@ -1,5 +1,7 @@
 """pjit data-parallel training loops for the two CVAEs."""
 from .trainer import (
+    make_infiller_eval_step,
+    make_trajpred_eval_step,
     TrainState,
     make_infiller_train_step,
     make_trajpred_train_step,

@@ -85,6 +85,26 @@ def make_infiller_train_step(model: MotionInfillerVAE, tx, loss_cfg: dict,
     )
 
 
+def make_infiller_eval_step(model: MotionInfillerVAE, loss_cfg: dict,
+                            mesh: Optional[Mesh] = None):
+    """Loss-only step (no update, no buffer donation) for validation."""
+
+    def step(params, batch, rng):
+        out = model.apply(
+            params, batch["in_body_pose"], batch["gt_body_pose"],
+            batch["frame_mask"], rng=None,
+        )
+        data = {**batch, **out}
+        total, uw = weighted_total(data, loss_cfg, infiller_loss_dict)
+        return {"loss": total, **uw}
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(step, in_shardings=(repl, dp, repl), out_shardings=repl)
+
+
 # ----------------------------------------------------------------- traj pred
 
 def init_trajpred(model: TrajPredVAE, tx, rng, batch_size=2, seq_len=16):
@@ -127,3 +147,23 @@ def make_trajpred_train_step(model: TrajPredVAE, tx, loss_cfg: dict,
         step, donate_argnums=0,
         in_shardings=(repl, dp, repl), out_shardings=(repl, repl),
     )
+
+
+def make_trajpred_eval_step(model: TrajPredVAE, loss_cfg: dict,
+                            mesh: Optional[Mesh] = None):
+    """Loss-only step (no update, no buffer donation) for validation."""
+
+    def step(params, batch, rng):
+        out = model.apply(
+            params, batch["joint_pos"], batch["trans"], batch["orient_q"],
+            rng=None,
+        )
+        data = {**batch, **out}
+        total, uw = weighted_total(data, loss_cfg, traj_pred_loss_dict)
+        return {"loss": total, **uw}
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(step, in_shardings=(repl, dp, repl), out_shardings=repl)
