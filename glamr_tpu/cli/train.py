@@ -52,9 +52,18 @@ def main(argv=None):
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--resume", default=None, help="checkpoint path")
     parser.add_argument("--ndevices", type=int, default=None)
+    parser.add_argument("--debug", action="store_true",
+                        help="enable NaN checking (the reference's "
+                             "autograd-anomaly-mode analog, train.py:51-52)")
+    parser.add_argument("--profile", default=None,
+                        help="write a jax.profiler trace to this directory "
+                             "(the reference's --profiler flag analog)")
     args = parser.parse_args(argv)
 
     import jax
+
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
     import numpy as np
 
     from ..body.smpl import get_smpl
@@ -146,6 +155,8 @@ def main(argv=None):
     best_val = float("inf")
     np_rng = np.random.default_rng(seed)
     t_start = time.time()
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     for epoch in range(epochs):
         t0 = time.time()
         train_loss = 0.0
@@ -173,6 +184,9 @@ def main(argv=None):
             save_checkpoint(os.path.join(cp_dir, "best.pkl"), host_state)
         if (epoch + 1) % save_n == 0 or epoch == epochs - 1:
             save_checkpoint(os.path.join(cp_dir, f"epoch={epoch}.pkl"), host_state)
+    if args.profile:
+        jax.profiler.stop_trace()
+        log.info(f"profiler trace written to {args.profile}")
     log.info(f"done in {(time.time()-t_start)/60:.1f}m; best val {best_val:.4f}")
     return state
 

@@ -75,15 +75,62 @@ class ReconFlags:
     heading_type: str = "scalar"
     absolute_heading: bool = False
     use_pen_loss: bool = False
+    opt_motion_latent: bool = False
+    opt_traj_latent: bool = False
+    infill_motion: bool = True
+
+
+def cvae_pred(params: dict, const: dict, joint_model) -> tuple:
+    """Differentiable CVAE re-inference inside the optimization step
+    (reference forward :434-445 re-runs infer_motion_traj when latents are
+    optimized). Runs over span-rolled, edge-held (P, T) arrays so all
+    persons batch into one infill scan + one trajectory decode:
+
+      * const['in_pose_rolled']   (P, T, 69) smpl_pose_nofill gathered so
+        each person's exist span starts at t=0 (pad = edge-hold)
+      * const['mask_rolled']      (P, T) visibility, pad frames = 1
+      * const['unroll_idx']       (P, T) int32, global t -> rolled index
+
+    Returns (smpl_pose (P,T,69), traj_local_pred (P,T,11)) in global time,
+    identity-padded outside the span, differentiable w.r.t.
+    params['motion_latent'] (P, L, nz) and params['traj_latent'] (P, nz).
+    """
+    from ..models.motion_infiller import infill_multi_step
+
+    jm = joint_model
+    in_pose = const["in_pose_rolled"]
+    mask = const["mask_rolled"]
+    # (P, L, nz) -> (L, P, nz) window-major latent layout
+    motion_eps = jnp.swapaxes(params["motion_latent"], 0, 1)
+    body_pose = infill_multi_step(jm.mfiller, jm.mfiller_params, in_pose,
+                                  mask, motion_eps)
+    joint_pos = jm.smpl.joint_pos_from_body_pose(body_pose)
+    traj = jm.trajpred.apply(
+        jm.trajpred_params, joint_pos, params["traj_latent"],
+        method=type(jm.trajpred).decode,
+    )
+    local_traj = traj["out_local_traj"]  # (P, T, 11) rolled
+
+    unroll = const["unroll_idx"]
+    body_pose_g = jnp.take_along_axis(body_pose, unroll[..., None], axis=1)
+    local_g = jnp.take_along_axis(local_traj, unroll[..., None], axis=1)
+    exist = const["exist_mask"][..., None]
+    smpl_pose = jnp.where(exist > 0, body_pose_g, const["smpl_pose"])
+    from ..transforms.traj import IDENTITY_LOCAL_TRAJ
+
+    ident = jnp.asarray(IDENTITY_LOCAL_TRAJ, local_g.dtype)
+    traj_local_pred = jnp.where(exist > 0, local_g, ident)
+    return smpl_pose, traj_local_pred
 
 
 # ---------------------------------------------------------------------------
 # trajectory composition
 # ---------------------------------------------------------------------------
 
-def compose_local_traj(params: dict, const: dict, flags: ReconFlags) -> jax.Array:
+def compose_local_traj(params: dict, const: dict, flags: ReconFlags,
+                       traj_local_pred=None) -> jax.Array:
     """traj_local_pred + residuals -> (P, T, 11) (reference :394-419)."""
-    tl = const["traj_local_pred"]
+    tl = const["traj_local_pred"] if traj_local_pred is None else traj_local_pred
     first = const["first_mask"]            # (P, T) 1.0 at fr_start
     rest = const["rest_mask"]              # (P, T) exist & not first
     exist = const["exist_mask"]            # (P, T)
@@ -111,14 +158,15 @@ def compose_local_traj(params: dict, const: dict, flags: ReconFlags) -> jax.Arra
     return jnp.concatenate([xy, z, rot, hv], axis=-1)
 
 
-def world_pose_from_traj(params: dict, const: dict, flags: ReconFlags):
+def world_pose_from_traj(params: dict, const: dict, flags: ReconFlags,
+                         traj_local_pred=None):
     """Integrate the composed local traj and apply world-level residuals.
 
     Returns (smpl_orient_world (P,T,3) aa, root_trans_world (P,T,3),
     traj_local (P,T,11)).
     """
     if flags.pred_traj:
-        traj_local = compose_local_traj(params, const, flags)
+        traj_local = compose_local_traj(params, const, flags, traj_local_pred)
         trans, orient_q = traj_local2global_heading(
             traj_local, local_heading=not flags.absolute_heading
         )
@@ -216,9 +264,12 @@ def compose_camera(params, const, flags: ReconFlags, cam_mode: str,
 # ---------------------------------------------------------------------------
 
 def recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
-                  cam_mode: str) -> dict:
+                  cam_mode: str, joint_model=None,
+                  use_latents: bool = False) -> dict:
     """The complete differentiable graph: residuals -> world traj -> camera
-    -> SMPL joints -> 2D keypoints (reference forward :428-531).
+    -> SMPL joints -> 2D keypoints (reference forward :428-531). With
+    use_latents, the CVAEs re-decode from the optimizable latent params
+    inside the step (see cvae_pred).
 
     Matmul precision is pinned to float32: on TPU the MXU defaults to
     bfloat16, which is fine for the CVAE transformers but loses ~1e-2 on
@@ -228,12 +279,23 @@ def recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
     precision costs almost nothing.
     """
     with jax.default_matmul_precision("float32"):
-        return _recon_forward(params, const, smpl, flags, cam_mode)
+        return _recon_forward(params, const, smpl, flags, cam_mode,
+                              joint_model, use_latents)
 
 
 def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
-                   cam_mode: str) -> dict:
-    orient_w, trans_w, traj_local = world_pose_from_traj(params, const, flags)
+                   cam_mode: str, joint_model=None,
+                   use_latents: bool = False) -> dict:
+    smpl_pose = const["smpl_pose"]
+    traj_local_pred = None
+    if use_latents and joint_model is not None:
+        cvae_pose, traj_local_pred = cvae_pred(params, const, joint_model)
+        if flags.infill_motion:
+            smpl_pose = cvae_pose
+        if not flags.pred_traj:
+            traj_local_pred = None
+    orient_w, trans_w, traj_local = world_pose_from_traj(
+        params, const, flags, traj_local_pred)
     person_tf_world = make_transform(orient_w, trans_w, rot_type="axis_angle")
 
     cam_pose, cam_pose_inv, cam_rot_6d, cam_trans = compose_camera(
@@ -248,7 +310,7 @@ def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
     P, T = orient_w.shape[:2]
     joints = smpl.joints_fast(
         orient_w.reshape(P * T, 3),
-        const["smpl_pose"].reshape(P * T, -1),
+        smpl_pose.reshape(P * T, -1),
         const["smpl_beta"].reshape(P * T, -1),
         root_trans=trans_w.reshape(P * T, 3),
     ).reshape(P, T, -1, 3)
@@ -257,6 +319,7 @@ def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
 
     derived = {
         "traj_local": traj_local,
+        "smpl_pose_used": smpl_pose,
         "smpl_orient_world": orient_w,
         "root_trans_world": trans_w,
         "person_transform_world": person_tf_world,
@@ -273,7 +336,7 @@ def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
     if flags.use_pen_loss:
         verts = smpl.forward(
             orient_w.reshape(P * T, 3),
-            const["smpl_pose"].reshape(P * T, -1),
+            smpl_pose.reshape(P * T, -1),
             const["smpl_beta"].reshape(P * T, -1),
             root_trans=trans_w.reshape(P * T, 3),
         ).vertices

@@ -238,13 +238,16 @@ def person2cam_res_trans_reg(data, specs):
 
 
 def motion_latent_reg_loss(data, specs):
+    # reference divides by the total latent-row count over persons (:293-300)
     x = data["motion_latent"]
-    return (x**2).sum() / jnp.maximum(x.shape[0] * x.shape[1], 1)
+    denom = data.get("n_motion_latents", x.shape[0] * x.shape[1])
+    return (x**2).sum() / jnp.maximum(denom, 1)
 
 
 def traj_latent_reg_loss(data, specs):
     x = data["traj_latent"]
-    return (x**2).sum() / jnp.maximum(x.shape[0] * x.shape[1], 1)
+    denom = data.get("n_traj_latents", x.shape[0])
+    return (x**2).sum() / jnp.maximum(denom, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,9 @@ class GlobalReconOptimizer:
             heading_type=g("heading_type", "scalar"),
             absolute_heading=g("absolute_heading", False),
             use_pen_loss=g("flag_use_pen_loss", False),
+            opt_motion_latent=g("flag_opt_motion_latent", False),
+            opt_traj_latent=g("flag_opt_traj_latent", False),
+            infill_motion=g("flag_infill_motion", True),
         )
         self.flag_infer_motion_traj = g("flag_infer_motion_traj", False)
         self.flag_infill_motion = g("flag_infill_motion", True)
@@ -94,14 +97,11 @@ class GlobalReconOptimizer:
         self.opt_stage_specs = cfg.opt_stage_specs
         self._stage_cache: dict = {}
         self._fwd_cache: dict = {}
-        if self.flag_opt_motion_latent or self.flag_opt_traj_latent:
-            # CVAE-in-the-loop latent optimization (reference :434-445) is
-            # not wired into the compiled stage yet; fail loudly rather
-            # than silently ignoring the latents. No shipped config
-            # enables these flags.
-            raise NotImplementedError(
-                "flag_opt_motion_latent / flag_opt_traj_latent are not yet "
-                "supported in the compiled stage-4 optimizer")
+        if (self.flag_opt_motion_latent or self.flag_opt_traj_latent) and \
+                self.joint_model is None:
+            raise ValueError(
+                "flag_opt_motion_latent / flag_opt_traj_latent require a "
+                "joint model (CVAE-in-the-loop latent optimization)")
         if self.flag_infer_motion_traj and self.joint_model is None:
             self.log.info(
                 "flag_infer_motion_traj set but no joint model provided — "
@@ -337,6 +337,18 @@ class GlobalReconOptimizer:
         n_exist = (bp.fr_end - bp.fr_start).astype(np.float32)
         first_any = int(np.argmax(bp.fr_num_persons > 0))
 
+        # span-rolled views for CVAE-in-the-loop latent optimization
+        t_idx = np.arange(T)[None, :]
+        src = np.clip(bp.fr_start[:, None] + t_idx, 0, bp.fr_end[:, None] - 1)
+        in_pose_rolled = np.take_along_axis(
+            bp.smpl_pose_nofill, src[..., None], axis=1)
+        span_len = (bp.fr_end - bp.fr_start)[:, None]
+        mask_rolled = np.where(
+            t_idx < span_len,
+            np.take_along_axis(bp.visible, src, axis=1), 1.0
+        ).astype(np.float32)
+        unroll_idx = np.clip(t_idx - bp.fr_start[:, None], 0, T - 1).astype(np.int32)
+
         const = {
             "kp_2d": bp.kp_2d, "kp_2d_score": bp.kp_2d_score, "cam_K": bp.cam_K,
             "smpl_pose": bp.smpl_pose, "smpl_beta": bp.smpl_beta,
@@ -362,7 +374,20 @@ class GlobalReconOptimizer:
                 T if self.flags.cam_inv_trans_res_all
                 else max(int((bp.fr_num_persons == 0).sum()), 1)
             ),
+            "in_pose_rolled": in_pose_rolled.astype(np.float32),
+            "mask_rolled": mask_rolled,
+            "unroll_idx": unroll_idx,
         }
+        if self.joint_model is not None:
+            from ..models.motion_infiller import num_windows
+
+            cur = self.joint_model.mfiller.cfg.cur_nframe
+            const["n_motion_latents"] = np.float32(sum(
+                max(1, int(np.ceil((int(bp.fr_end[p] - bp.fr_start[p])
+                                    - self.joint_model.mfiller.cfg.past_nframe)
+                                   / cur)))
+                for p in range(P)))
+            const["n_traj_latents"] = np.float32(P)
         const = {k: jnp.asarray(v) for k, v in const.items()}
 
         params = self._init_params(P, T)
@@ -396,9 +421,16 @@ class GlobalReconOptimizer:
             "cam_trans_fix": z(1, 3),
             "cam_inv_rot_residual": z(T, 6),
             "cam_inv_trans_residual": z(T, 3),
-            "motion_latent": z(P, 1, 1),
-            "traj_latent": z(P, 1, 1),
         }
+        if self.joint_model is not None:
+            from ..models.motion_infiller import num_windows
+
+            L = num_windows(self.joint_model.mfiller.cfg, T)
+            params["motion_latent"] = z(P, L, self.joint_model.mfiller.cfg.nz)
+            params["traj_latent"] = z(P, self.joint_model.trajpred.cfg.nz)
+        else:
+            params["motion_latent"] = z(P, 1, 1)
+            params["traj_latent"] = z(P, 1)
         return params
 
     def _traj_from_cam(self, cam_pose_inv, person_tf_cam, bp):
@@ -463,14 +495,14 @@ class GlobalReconOptimizer:
         return trainable
 
     def _stage_fn(self, stage_key, cam_mode, trainable, opt_lr, opt_niters,
-                  loss_cfg):
+                  loss_cfg, use_latents=False):
         """Build (and cache) the compiled stage program."""
         cache_key = (stage_key, cam_mode, tuple(sorted(trainable)), opt_lr,
-                     opt_niters, repr(sorted(loss_cfg.items())))
+                     opt_niters, repr(sorted(loss_cfg.items())), use_latents)
         if cache_key in self._stage_cache:
             return self._stage_cache[cache_key]
 
-        flags, smpl = self.flags, self.smpl
+        flags, smpl, jm = self.flags, self.smpl, self.joint_model
         # frozen leaves must get a ZERO update (optax.masked alone would
         # pass their raw gradients through as updates)
         tx = optax.multi_transform(
@@ -480,7 +512,8 @@ class GlobalReconOptimizer:
         )
 
         def loss_fn(params, const):
-            derived = recon_forward(params, const, smpl, flags, cam_mode)
+            derived = recon_forward(params, const, smpl, flags, cam_mode,
+                                    joint_model=jm, use_latents=use_latents)
             data = {**const, **params, **derived}
             return compute_losses(data, loss_cfg)
 
@@ -532,20 +565,37 @@ class GlobalReconOptimizer:
                     params["cam_rot_6d"] = rot6
                     params["cam_trans"] = cam[:, :3, 3]
 
-            run = self._stage_fn(
-                stage, cam_mode, trainable, float(ss["opt_lr"]),
-                int(ss["opt_niters"]), ss["loss_cfg"],
-            )
+            use_latents = self.flags.opt_motion_latent or self.flags.opt_traj_latent
+            start_iter = int(ss.get("opt_latent_start_iter", 0))
+            niters = int(ss["opt_niters"])
+            # phase split: latents held (cached CVAE outputs from init) for
+            # the first opt_latent_start_iter iterations, live decode after
+            # (reference :434-445). Adam moments reset at the boundary.
+            phases = [(niters, use_latents)]
+            if use_latents and 0 < start_iter < niters:
+                phases = [(start_iter, False), (niters - start_iter, True)]
+            elif use_latents and start_iter >= niters:
+                phases = [(niters, False)]
+
             t0 = time.time()
-            params, (loss_hist, loss_uw_hist) = run(params, const)
-            loss_hist = np.asarray(loss_hist)
+            hists, uw_hists = [], []
+            for n_it, live in phases:
+                run = self._stage_fn(
+                    stage, cam_mode, trainable, float(ss["opt_lr"]),
+                    n_it, ss["loss_cfg"], use_latents=live,
+                )
+                params, (h, uw) = run(params, const)
+                hists.append(np.asarray(h))
+                uw_hists.append({k: np.asarray(v) for k, v in uw.items()})
+            loss_hist = np.concatenate(hists)
+            loss_uw_hist = {k: np.concatenate([u[k] for u in uw_hists])
+                            for k in uw_hists[0]}
             elapsed = time.time() - t0
             self._log_stage(data["seq_name"], stage, ss, loss_hist,
-                            {k: np.asarray(v) for k, v in loss_uw_hist.items()},
-                            elapsed)
+                            loss_uw_hist, elapsed)
 
             # thread the stage's final camera into subsequent stages
-            derived = self._jit_forward(cam_mode)(params, const)
+            derived = self._jit_forward(cam_mode, use_latents)(params, const)
             cam_pose = derived["cam_pose"]
             if ss.get("reinitialize_cam", False):
                 cam_pose = jnp.broadcast_to(cam_pose[:1], cam_pose.shape)
@@ -555,13 +605,16 @@ class GlobalReconOptimizer:
         data["const"], data["params"] = const, params
         return self._build_output(data, derived, params, const)
 
-    def _jit_forward(self, cam_mode: str):
-        if cam_mode not in self._fwd_cache:
-            smpl, flags = self.smpl, self.flags
-            self._fwd_cache[cam_mode] = jax.jit(
-                lambda p, c: recon_forward(p, c, smpl, flags, cam_mode)
+    def _jit_forward(self, cam_mode: str, use_latents: bool = False):
+        key = (cam_mode, use_latents)
+        if key not in self._fwd_cache:
+            smpl, flags, jm = self.smpl, self.flags, self.joint_model
+            self._fwd_cache[key] = jax.jit(
+                lambda p, c: recon_forward(p, c, smpl, flags, cam_mode,
+                                           joint_model=jm,
+                                           use_latents=use_latents)
             )
-        return self._fwd_cache[cam_mode]
+        return self._fwd_cache[key]
 
     def _log_stage(self, seq_name, stage, ss, loss_hist, loss_uw, elapsed):
         n = len(loss_hist)
@@ -593,7 +646,8 @@ class GlobalReconOptimizer:
                 "vis_frames": bp.visible[p] == 1,
                 "invis_frames": bp.visible[p] == 0,
                 "max_len": T, "frames": np.arange(T), "scale": None,
-                "smpl_pose": np.asarray(const["smpl_pose"][p]),
+                "smpl_pose": np.asarray(
+                    derived.get("smpl_pose_used", const["smpl_pose"])[p]),
                 "smpl_beta": bp.smpl_beta[p],
                 "smpl_orient_cam": bp.smpl_orient_cam[p],
                 "root_trans_cam": bp.root_trans_cam[p],

@@ -231,3 +231,76 @@ class TestShippedConfigs:
         assert np.isfinite(out["cam_pose"]).all()
         for pd in out["person_data"].values():
             assert np.isfinite(pd["root_trans_world"]).all()
+
+
+class TestLatentOptimization:
+    """CVAE-in-the-loop latent optimization (flag_opt_motion_latent /
+    flag_opt_traj_latent): gradients must reach the latents and the stage
+    must run + reduce the loss."""
+
+    def _tiny_joint_model(self, smpl_syn):
+        import jax
+        import jax.numpy as jnp
+        from glamr_tpu.models import JointModel, MotionInfillerVAE, TrajPredVAE
+        from glamr_tpu.models.configs import MotionInfillerConfig, TrajPredConfig, TransformerSpec
+
+        tf = TransformerSpec(nlayer=1, model_dim=32, nhead=2, ff_dim=64, dropout=0.0)
+        mcfg = MotionInfillerConfig(nz=4, past_nframe=2, cur_nframe=5, fut_nframe=2,
+                                    ctx_in_fc=32, ctx_transformer=tf,
+                                    enc_transformer=tf, dec_transformer=tf,
+                                    prior_transformer=tf, dec_out_mlp=(32,))
+        tcfg = TrajPredConfig(nz=4, seq_len=8, ctx_in_mlp=(32,), ctx_rnn_hdim=32,
+                              ctx_rnn_layers=1, ctx_out_mlp=(32,), enc_in_mlp=(32,),
+                              enc_rnn_hdim=32, enc_rnn_layers=1, enc_out_mlp=(32,),
+                              enc_fusion_mlp=(32,), dec_out_mlp=(32,),
+                              dec_prior_mlp=(32,))
+        mf = MotionInfillerVAE(mcfg)
+        tp = TrajPredVAE(tcfg)
+        rng = jax.random.PRNGKey(0)
+        W = mcfg.window_len
+        mfp = mf.init(rng, jnp.zeros((1, W, 69)), jnp.zeros((1, W, 69)), jnp.ones((1, W)))
+        q0 = jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, 8, 1))
+        tpp = tp.init(rng, jnp.zeros((1, 8, 69)), jnp.zeros((1, 8, 3)), q0)
+        return JointModel(mfiller=mf, mfiller_params=mfp, trajpred=tp,
+                          trajpred_params=tpp, smpl=smpl_syn)
+
+    def test_latent_stage_runs_and_descends(self, in_dict, smpl_syn):
+        jm = self._tiny_joint_model(smpl_syn)
+        specs = {"flag_fixed_cam": True, "flag_infer_motion_traj": True,
+                 "flag_opt_motion_latent": True, "flag_opt_traj_latent": True}
+        stage = {"init_opt": {
+            "opt_lr": 1.0e-2, "opt_niters": 12,
+            "opt_variables": ["local_xy", "local_heading"],
+            "opt_latent_start_iter": 4,
+            "loss_cfg": {
+                "kp_2d": {"weight": 1.0, "min_conf": 0.3},
+                "motion_latent_reg": {"weight": 1.0},
+                "traj_latent_reg": {"weight": 1.0},
+            },
+        }}
+        cfg = FakeCfg(stage, specs)
+        opt = GlobalReconOptimizer(cfg, joint_model=jm, smpl=smpl_syn)
+        out = opt.optimize(in_dict)
+        for pd in out["person_data"].values():
+            assert np.isfinite(pd["root_trans_world"]).all()
+            assert np.isfinite(pd["smpl_pose"]).all()
+
+    def test_latent_gradients_nonzero(self, in_dict, smpl_syn):
+        import jax
+        from glamr_tpu.recon import compute_losses
+        jm = self._tiny_joint_model(smpl_syn)
+        specs = {"flag_fixed_cam": True, "flag_infer_motion_traj": True,
+                 "flag_opt_motion_latent": True, "flag_opt_traj_latent": True}
+        cfg = FakeCfg(STAGE, specs)
+        opt = GlobalReconOptimizer(cfg, joint_model=jm, smpl=smpl_syn)
+        data = opt.init_data(in_dict)
+        loss_cfg = {"kp_2d": {"weight": 1.0, "min_conf": 0.3}}
+
+        def loss(params):
+            d = recon_forward(params, data["const"], smpl_syn, opt.flags,
+                              "hold", joint_model=jm, use_latents=True)
+            return compute_losses({**data["const"], **params, **d}, loss_cfg)[0]
+
+        g = jax.grad(loss)(data["params"])
+        assert float(np.abs(np.asarray(g["motion_latent"])).max()) > 0
+        assert float(np.abs(np.asarray(g["traj_latent"])).max()) > 0
