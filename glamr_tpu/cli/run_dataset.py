@@ -101,8 +101,7 @@ def main(argv=None):
             out_file = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")
             if args.cached and os.path.isfile(out_file):
                 continue
-            np.random.seed(seed)
-            out_dict = grecon.optimize(in_dict)
+            out_dict = grecon.optimize(in_dict, seed=seed)
             with open(out_file, "wb") as f:
                 pickle.dump(out_dict, f)
             log.info(f"{seq} seed {seed}: wrote {out_file}")

@@ -73,8 +73,7 @@ def main(argv=None):
             with open(out_file, "rb") as f:
                 outs[seed] = pickle.load(f)
             continue
-        np.random.seed(seed)
-        out_dict = grecon.optimize(in_dict)
+        out_dict = grecon.optimize(in_dict, seed=seed)
         with open(out_file, "wb") as f:
             pickle.dump(out_dict, f)
         outs[seed] = out_dict

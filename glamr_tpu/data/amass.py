@@ -42,6 +42,15 @@ class AMASSDataset:
             self.seq_lengths / self.seq_lengths.sum()
             if seq_sampling_method == "length" else None
         )
+        self._native_sampler = None
+
+    def _native(self):
+        if self._native_sampler is None:
+            from .native_sampler import NativeSampler
+
+            ns = NativeSampler(self.data, self.seq_prob)
+            self._native_sampler = ns if ns.available else False
+        return self._native_sampler or None
 
     @classmethod
     def from_dir(cls, dataset_dir: str, split: str, **kw) -> "AMASSDataset":
@@ -136,8 +145,20 @@ class AMASSDataset:
         data["pose_mask"] = pose_mask
         data["frame_mask"] = frame_mask
 
-    def batch(self, rng: np.random.Generator, batch_size: int) -> dict:
-        """Stack batch_size samples into [B, ...] arrays (numeric keys only)."""
+    def batch(self, rng: np.random.Generator, batch_size: int,
+              native: bool = True) -> dict:
+        """Stack batch_size samples into [B, ...] arrays (numeric keys only).
+
+        Uses the C sampler (data.native_sampler) when possible: one call
+        fills the whole batch. Falls back to the Python per-sample path
+        when the toolchain is absent or augmentations require it
+        (gaussian smoothing, per-sample jpos windows)."""
+        if native and self.pose_gaussian_smooth is None:
+            ns = self._native()
+            if ns is not None:
+                seed = int(rng.integers(0, 2**63 - 1))
+                mask_spec = self.mask_methods.get("drop_frames")
+                return ns.batch(seed, batch_size, self.seq_len, mask_spec)
         samples = [self.sample(rng) for _ in range(batch_size)]
         out = {}
         for k, v in samples[0].items():

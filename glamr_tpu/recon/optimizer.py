@@ -232,19 +232,22 @@ class GlobalReconOptimizer:
             trans_w[p, :s], trans_w[p, e:] = trans_w[p, s], trans_w[p, e - 1]
         return traj_local_pred, orient_w, trans_w
 
-    def init_data(self, in_dict: dict) -> dict:
+    def init_data(self, in_dict: dict, seed: int = 0) -> dict:
         """Host-side data init -> {'const', 'params', 'bp', meta...}.
 
         Runs on the CPU backend: this is once-per-sequence prep made of
         many small ops — dispatching them to a (possibly remote) TPU
         costs a tunnel round-trip + compile each. The compiled stage
         pulls the resulting arrays to the accelerator in one transfer.
+
+        seed drives the CVAE prior samples (the reference's per-seed
+        stochastic inference, run_demo.py:61-63 + inference z-draws).
         """
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            return self._init_data(in_dict)
+            return self._init_data(in_dict, seed)
 
-    def _init_data(self, in_dict: dict) -> dict:
+    def _init_data(self, in_dict: dict, seed: int = 0) -> dict:
         bp = init_batched(
             in_dict,
             flag_filter_pose=self.flag_filter_pose,
@@ -258,11 +261,15 @@ class GlobalReconOptimizer:
         motion_eps = traj_eps = None
         if self.joint_model is not None and self.flag_infer_motion_traj:
             jm = self.joint_model
+            eps_rng = np.random.default_rng(seed)
             motion_eps, traj_eps = [], []
             for p in range(P):
                 L, nz = jm.motion_latent_shape(int(bp.fr_end[p] - bp.fr_start[p]))
-                motion_eps.append(np.zeros((L, 1, nz), np.float32))
-                traj_eps.append(np.zeros(jm.traj_latent_shape(0), np.float32))
+                motion_eps.append(
+                    eps_rng.standard_normal((L, 1, nz)).astype(np.float32))
+                traj_eps.append(
+                    eps_rng.standard_normal(
+                        jm.traj_latent_shape(0)).astype(np.float32))
             smpl_pose, orient_w, trans_w, traj_local_pred = self._infer_motion_traj(
                 bp, motion_eps, traj_eps
             )
@@ -537,8 +544,9 @@ class GlobalReconOptimizer:
         self._stage_cache[cache_key] = run
         return run
 
-    def optimize(self, in_dict: dict, continue_opt: bool = False) -> dict:
-        data = in_dict if continue_opt else self.init_data(in_dict)
+    def optimize(self, in_dict: dict, continue_opt: bool = False,
+                 seed: int = 0) -> dict:
+        data = in_dict if continue_opt else self.init_data(in_dict, seed)
         # one bulk host->accelerator transfer (init_data builds on CPU)
         dev = jax.devices()[0]
         const = jax.device_put(data["const"], dev)

@@ -116,3 +116,55 @@ class TestTrainSteps:
         }, mesh8)
         state, metrics = step(state, batch, replicate(rng, mesh8))
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestNativeSampler:
+    def test_native_matches_semantics(self):
+        from glamr_tpu.data.native_sampler import NativeSampler
+        data, _ = synthetic_amass_data(6, min_len=80, max_len=200)
+        ns = NativeSampler(data)
+        if not ns.available:
+            pytest.skip("no C toolchain")
+        b = ns.batch(seed=7, batch_size=32, seq_len=50,
+                     mask_spec={"preserve_first_n": 10, "min_drop_len": 10,
+                                "max_drop_len": 40})
+        assert b["pose"].shape == (32, 50, 72)
+        assert b["in_body_pose"].shape == (32, 50, 69)
+        # first 10 frames preserved; some frames dropped in each row
+        assert (b["frame_mask"][:, :10] == 1).all()
+        dropped = (b["frame_mask"] == 0)
+        assert dropped.any(axis=1).all()
+        # masked input zeroed exactly where dropped
+        assert np.abs(b["in_body_pose"][dropped]).sum() == 0
+        vis = b["frame_mask"] == 1
+        np.testing.assert_array_equal(
+            b["in_body_pose"][vis], b["gt_body_pose"][vis])
+        # deterministic given seed
+        b2 = ns.batch(seed=7, batch_size=32, seq_len=50,
+                      mask_spec={"preserve_first_n": 10, "min_drop_len": 10,
+                                 "max_drop_len": 40})
+        np.testing.assert_array_equal(b["pose"], b2["pose"])
+
+    def test_dataset_batch_uses_native(self):
+        data, _ = synthetic_amass_data(4)
+        ds = AMASSDataset(data, None, seq_len=30,
+                          data_mask_methods={"drop_frames": {
+                              "preserve_first_n": 5, "min_drop_len": 5,
+                              "max_drop_len": 10}})
+        b = ds.batch(np.random.default_rng(0), 8)
+        assert b["pose"].shape == (8, 30, 72)
+        assert np.isfinite(b["pose"]).all()
+
+    def test_short_seq_edge_pad(self):
+        from glamr_tpu.data.native_sampler import NativeSampler
+        data, _ = synthetic_amass_data(2, min_len=20, max_len=25)
+        ns = NativeSampler(data)
+        if not ns.available:
+            pytest.skip("no C toolchain")
+        b = ns.batch(seed=3, batch_size=4, seq_len=40, mask_spec=None)
+        lm = b["frame_loss_mask"][..., 0]
+        assert (lm.sum(1) <= 25).all() and (lm.sum(1) >= 20).all()
+        # padded frames replicate the last real frame
+        for i in range(4):
+            eff = int(lm[i].sum())
+            assert np.abs(b["pose"][i, eff:] - b["pose"][i, eff - 1]).max() == 0
