@@ -239,10 +239,10 @@ class LSTM(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = self.out_dim // 2 if self.bi_dir else self.out_dim
-        fwd = nn.RNN(nn.OptimizedLSTMCell(hidden), name="rnn_f")(x)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(hidden, name="cell_f"), name="rnn_f")(x)
         if not self.bi_dir:
             return fwd
-        bwd = nn.RNN(nn.OptimizedLSTMCell(hidden), name="rnn_b")(
+        bwd = nn.RNN(nn.OptimizedLSTMCell(hidden, name="cell_b"), name="rnn_b")(
             x, reverse=True, keep_order=True
         )
         return jnp.concatenate([fwd, bwd], axis=-1)
@@ -255,10 +255,10 @@ class GRU(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = self.out_dim // 2 if self.bi_dir else self.out_dim
-        fwd = nn.RNN(nn.GRUCell(hidden), name="rnn_f")(x)
+        fwd = nn.RNN(nn.GRUCell(hidden, name="cell_f"), name="rnn_f")(x)
         if not self.bi_dir:
             return fwd
-        bwd = nn.RNN(nn.GRUCell(hidden), name="rnn_b")(x, reverse=True, keep_order=True)
+        bwd = nn.RNN(nn.GRUCell(hidden, name="cell_b"), name="rnn_b")(x, reverse=True, keep_order=True)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 

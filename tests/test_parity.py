@@ -1,0 +1,230 @@
+"""Activation-level parity vs the reference implementation.
+
+Instantiates the REFERENCE torch modules (with pytorch_lightning/smplx
+stubbed — neither is installed, and neither is needed for the network
+math), ports their randomly-initialized weights through
+utils.port_weights, and asserts that the flax models reproduce the torch
+forward outputs on identical inputs. This is the proof that released
+reference checkpoints can be ported for metric parity (SURVEY.md §4
+'Parity').
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_env(tmp_path_factory):
+    """Make /root/reference importable with pl/smplx stubbed."""
+    if not os.path.isdir(REF):
+        pytest.skip("reference not available")
+
+    # --- stub pytorch_lightning
+    pl = types.ModuleType("pytorch_lightning")
+    pl.LightningModule = torch.nn.Module
+    pl.__version__ = "0.0-stub"
+    sys.modules.setdefault("pytorch_lightning", pl)
+
+    # --- stub smplx (reference SMPL extends it; the network math never
+    # touches it in these tests)
+    smplx = types.ModuleType("smplx")
+
+    class _SMPL(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    smplx.SMPL = _SMPL
+    lbs = types.ModuleType("smplx.lbs")
+    for name in ["vertices2joints", "blend_shapes", "batch_rigid_transform",
+                 "batch_rodrigues"]:
+        setattr(lbs, name, lambda *a, **k: None)
+    smplx.lbs = lbs
+    sys.modules.setdefault("smplx", smplx)
+    sys.modules.setdefault("smplx.lbs", lbs)
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    # reference SMPL loads data/J_regressor_extra.npy relative to CWD
+    work = tmp_path_factory.mktemp("refwork")
+    os.makedirs(work / "data", exist_ok=True)
+    np.save(work / "data" / "J_regressor_extra.npy", np.zeros((9, 24), np.float32))
+    old_cwd = os.getcwd()
+    os.chdir(work)
+    yield REF
+    os.chdir(old_cwd)
+
+
+class RefCfg:
+    """Minimal stand-in for the reference Config (attribute access over a
+    YAML dict)."""
+
+    def __init__(self, yml_path):
+        import yaml
+
+        with open(yml_path) as f:
+            self.yml_dict = yaml.safe_load(f)
+
+    def __getattr__(self, k):
+        d = self.__dict__.get("yml_dict", {})
+        if k in d:
+            return d[k]
+        raise AttributeError(k)
+
+
+class TestInfillerParity:
+    def test_infer_step_matches(self, ref_env):
+        from motion_infiller.models.motion_infiller_vae import (
+            MotionInfillerVAE as RefVAE,
+        )
+
+        import jax.numpy as jnp
+
+        from glamr_tpu.models import MotionInfillerVAE
+        from glamr_tpu.models.configs import MotionInfillerConfig
+        from glamr_tpu.utils.port_weights import port_motion_infiller
+
+        cfg_path = os.path.join(ref_env, "motion_infiller/cfg/motion_infiller_demo.yml")
+        ref_cfg = RefCfg(cfg_path)
+        torch.manual_seed(0)
+        ref = RefVAE(ref_cfg).eval()
+
+        my_cfg = MotionInfillerConfig.from_dict(ref_cfg.model_specs)
+        model = MotionInfillerVAE(my_cfg)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = port_motion_infiller(sd, my_cfg)
+
+        B, W = 2, my_cfg.window_len
+        rng = np.random.default_rng(0)
+        frame_mask = np.ones((B, W), np.float32)
+        frame_mask[:, 18:30] = 0.0
+        in_pose = rng.normal(0, 0.2, (B, W, 69)).astype(np.float32)
+        in_pose *= frame_mask[..., None]
+        eps = rng.normal(0, 1, (B, my_cfg.nz)).astype(np.float32)
+
+        # ---- torch infer path (context -> decoder infer w/ injected eps)
+        with torch.no_grad():
+            data = {
+                "in_body_pose_tp": torch.from_numpy(in_pose.transpose(1, 0, 2)),
+                "vis_frame_mask": torch.from_numpy(frame_mask == 0),
+                "batch_size": B,
+                "in_motion_latent": torch.from_numpy(eps),
+            }
+            ref.context_encoder(data)
+            ref.data_decoder(data, mode="infer", sample_num=1)
+            ref_out = data["infer_out_body_pose_tp"][:, :, 0, :].numpy()
+            ref_out = ref_out.transpose(1, 0, 2)        # (B, past+cur, 69)
+
+        # ---- flax
+        my_out = np.asarray(model.apply(
+            params, jnp.asarray(in_pose), jnp.asarray(frame_mask),
+            jnp.asarray(eps), method=MotionInfillerVAE.infer_step,
+        ))
+        assert my_out.shape == ref_out.shape
+        err = np.abs(my_out - ref_out).max()
+        assert err < 2e-4, f"infiller infer mismatch: {err}"
+
+    def test_recon_step_matches(self, ref_env):
+        from motion_infiller.models.motion_infiller_vae import (
+            MotionInfillerVAE as RefVAE,
+        )
+
+        import jax.numpy as jnp
+
+        from glamr_tpu.models import MotionInfillerVAE
+        from glamr_tpu.models.configs import MotionInfillerConfig
+        from glamr_tpu.utils.port_weights import port_motion_infiller
+
+        ref_cfg = RefCfg(os.path.join(
+            ref_env, "motion_infiller/cfg/motion_infiller_demo.yml"))
+        torch.manual_seed(1)
+        ref = RefVAE(ref_cfg).eval()
+        my_cfg = MotionInfillerConfig.from_dict(ref_cfg.model_specs)
+        model = MotionInfillerVAE(my_cfg)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = port_motion_infiller(sd, my_cfg)
+
+        B, W = 2, my_cfg.window_len
+        rng = np.random.default_rng(1)
+        frame_mask = np.ones((B, W), np.float32)
+        frame_mask[:, 25:40] = 0.0
+        gt_pose = rng.normal(0, 0.2, (B, W, 69)).astype(np.float32)
+        in_pose = gt_pose * frame_mask[..., None]
+
+        with torch.no_grad():
+            data = {
+                "in_body_pose_tp": torch.from_numpy(in_pose.transpose(1, 0, 2)),
+                "vis_frame_mask": torch.from_numpy(frame_mask == 0),
+                "batch_size": B,
+            }
+            ref.context_encoder(data)
+            # posterior over the cur window (reference DataEncoder consumes
+            # gt pose via data['body_pose_tp'] inside init_batch_data; feed
+            # the cur slice directly as the encoder's x input)
+            p, c = my_cfg.past_nframe, my_cfg.cur_nframe
+            data["body_pose_tp"] = torch.from_numpy(gt_pose.transpose(1, 0, 2))
+            ref.data_encoder(data)
+            data["q_z_samp"] = data["q_z_dist"].mode()
+            ref.data_decoder(data, mode="recon")
+            ref_out = data["recon_out_body_pose_tp"].numpy().transpose(1, 0, 2)
+
+        my_out = np.asarray(model.apply(
+            params, jnp.asarray(in_pose), jnp.asarray(gt_pose),
+            jnp.asarray(frame_mask), method=MotionInfillerVAE.recon_step,
+        ))
+        assert my_out.shape == ref_out.shape
+        err = np.abs(my_out - ref_out).max()
+        assert err < 2e-4, f"infiller recon mismatch: {err}"
+
+
+class TestTrajPredParity:
+    def test_decode_matches(self, ref_env):
+        from traj_pred.models.traj_pred_vae import TrajPredVAE as RefVAE
+
+        import jax.numpy as jnp
+
+        from glamr_tpu.models import TrajPredVAE
+        from glamr_tpu.models.configs import TrajPredConfig
+        from glamr_tpu.utils.port_weights import port_traj_pred
+
+        ref_cfg = RefCfg(os.path.join(ref_env, "traj_pred/cfg/traj_pred_demo.yml"))
+        torch.manual_seed(2)
+        ref = RefVAE(ref_cfg).eval()
+        my_cfg = TrajPredConfig.from_dict(ref_cfg.model_specs,
+                                          seq_len=ref_cfg.yml_dict["seq_len"])
+        model = TrajPredVAE(my_cfg)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = port_traj_pred(sd, my_cfg)
+
+        B, T = 2, 40
+        rng = np.random.default_rng(2)
+        joint_pos = rng.normal(0, 0.3, (B, T, 69)).astype(np.float32)
+        eps = rng.normal(0, 1, (B, my_cfg.nz)).astype(np.float32)
+
+        with torch.no_grad():
+            data = {
+                "in_joint_pos_tp": torch.from_numpy(joint_pos.transpose(1, 0, 2)),
+                "batch_size": B,
+                "in_traj_latent": torch.from_numpy(eps),
+            }
+            ref.context_encoder(data)
+            ref.data_decoder(data, mode="infer", sample_num=1)
+            ref_local = data["infer_out_local_traj_tp"][:, :, 0, :].numpy().transpose(1, 0, 2)
+            ref_trans = data["infer_out_trans_tp"][:, :, 0, :].numpy().transpose(1, 0, 2)
+
+        out = model.apply(params, jnp.asarray(joint_pos), jnp.asarray(eps),
+                          method=TrajPredVAE.decode)
+        my_local = np.asarray(out["out_local_traj"])
+        my_trans = np.asarray(out["out_trans"])
+        assert my_local.shape == ref_local.shape
+        err_l = np.abs(my_local - ref_local).max()
+        err_t = np.abs(my_trans - ref_trans).max()
+        assert err_l < 2e-4, f"local traj mismatch: {err_l}"
+        assert err_t < 2e-3, f"trans mismatch: {err_t}"
