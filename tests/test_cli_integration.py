@@ -1,0 +1,127 @@
+"""End-to-end CLI integration: a synthetic mini-3DPW dataset driven
+through run_dataset (recon sweep) and eval_dataset (metrics) — the full
+benchmark loop of the reference (run_dataset.py + eval_dataset.py)."""
+import os
+import pickle
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from glamr_tpu.body import get_smpl, smpl_to_body26fk_map
+from glamr_tpu.transforms import angle_axis_to_rotation_matrix, quat_apply, angle_axis_to_quaternion
+
+
+def make_mini_3dpw(root, seq_name="test_seq_00", T=20):
+    """GT pose pkl + matching synthetic pose-est pkl for one sequence."""
+    rng = np.random.default_rng(0)
+    smpl = get_smpl("body26fk", synthetic=True)
+    K = np.array([[800.0, 0, 400], [0, 800, 300], [0, 0, 1]], np.float32)
+
+    # world GT (z-up "3DPW world" convention is y-up; the evaluator applies
+    # the +90x fix to GT, so build GT in y-up: rotate our z-up world back)
+    pose = rng.normal(0, 0.12, (T, 72)).astype(np.float32)
+    pose[:, :3] += np.array([1.2092, 1.2092, 1.2092], np.float32)
+    trans_zup = np.cumsum(rng.normal(0, 0.01, (T, 3)), 0).astype(np.float32)
+    trans_zup[:, 2] += 3.0
+    shape = rng.normal(0, 0.3, (10,)).astype(np.float32)
+
+    # camera at origin looking +z of the z-up frame (identity extrinsics in
+    # the estimation frame)
+    orient_cam = pose[:, :3]
+    trans_cam = trans_zup
+
+    # GT stored in y-up world: inverse of the +90x fix
+    qinv = angle_axis_to_quaternion(jnp.array([-np.pi / 2, 0.0, 0.0]))
+    gt_orient = np.asarray(
+        jnp.broadcast_to(qinv, (T, 4))) * 0  # placeholder not used directly
+    from glamr_tpu.transforms import quat_mul, quaternion_to_angle_axis
+    oq = angle_axis_to_quaternion(jnp.asarray(pose[:, :3]))
+    gt_oq = quat_mul(jnp.broadcast_to(qinv, (T, 4)), oq)
+    gt_pose = pose.copy()
+    gt_pose[:, :3] = np.asarray(quaternion_to_angle_axis(gt_oq))
+    gt_trans = np.asarray(quat_apply(jnp.broadcast_to(qinv, (T, 4)),
+                                     jnp.asarray(trans_zup)))
+
+    gt_dir = os.path.join(root, "processed_v1", "pose")
+    os.makedirs(gt_dir, exist_ok=True)
+    person = {
+        "pose": gt_pose, "shape": shape, "trans": gt_trans,
+        "root_trans": gt_trans, "visible": np.ones(T, np.int64),
+    }
+    with open(os.path.join(gt_dir, f"{seq_name}.pkl"), "wb") as f:
+        pickle.dump({"person_data": {0: person},
+                     "meta": {"cam_K": K, "image_w": 800, "image_h": 600}}, f)
+
+    # pose-est pkl consistent with the z-up estimate frame
+    body = pose[:, 3:]
+    beta = np.tile(shape[None], (T, 1))
+    joints = np.asarray(smpl.joints_fast(
+        jnp.asarray(orient_cam), jnp.asarray(body), jnp.asarray(beta),
+        root_trans=jnp.asarray(trans_cam)))
+    m = smpl_to_body26fk_map()
+    kp26 = np.einsum("ij,tnj->tni", K, joints / joints[..., 2:3])[..., :2]
+    kp24 = np.zeros((T, 24, 2), np.float32)
+    kp24[:, m[:, 1]] = kp26[:, m[:, 0]]
+    rotmats = np.asarray(angle_axis_to_rotation_matrix(jnp.asarray(
+        np.concatenate([orient_cam[:, None], body.reshape(T, 23, 3)], 1))))
+    est = {0: {
+        "smpl_pose_quat_wroot": rotmats, "smpl_beta": beta,
+        "root_trans": trans_cam, "kp_2d": kp24,
+        "cam_K": np.tile(K, (T, 1, 1)),
+        "bboxes_dict": {"exist": np.ones(T, np.float32)},
+    }}
+    return est, seq_name
+
+
+@pytest.mark.slow
+def test_run_and_eval_dataset(tmp_path, monkeypatch):
+    from glamr_tpu.cli import eval_dataset, run_dataset
+
+    root = tmp_path / "datasets" / "3DPW"
+    est, seq = make_mini_3dpw(str(root))
+    out_dir = tmp_path / "out"
+
+    # pre-place the pose-est pickle so no HybrIK subprocess is attempted
+    pe_dir = out_dir / "pose_est" / seq
+    os.makedirs(pe_dir, exist_ok=True)
+    with open(pe_dir / "pose.pkl", "wb") as f:
+        pickle.dump(est, f)
+
+    monkeypatch.chdir(tmp_path)
+    # shrink the stage budget via a patched config copy
+    from glamr_tpu.utils import Config
+    cfg = Config("glamr_3dpw")
+    for ss in cfg.opt_stage_specs.values():
+        ss["opt_niters"] = 5
+    import yaml
+    cfg_file = tmp_path / "glamr_3dpw_tiny.yml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.yml_dict, f)
+
+    run_dataset.main([
+        "--dataset", "3dpw", "--cfg", str(cfg_file),
+        "--out_dir", str(out_dir), "--sequences", seq, "--seeds", "1",
+    ])
+    out_pkl = out_dir / f"{seq}_seed1.pkl"
+    assert out_pkl.exists()
+
+    # evaluator over the recon outputs — use the synthetic SMPL explicitly
+    from glamr_tpu.eval import Evaluator
+    with open(out_pkl, "rb") as f:
+        data = pickle.load(f)
+    ev = Evaluator(algo="it", dataset="3DPW",
+                   smpl=get_smpl("body26fk", synthetic=True))
+    md = ev.compute_sequence_metrics(data, accumulate=False)
+    m = md["metrics"]
+    assert np.isfinite(m["PA-MPJPE"].avg)
+    assert np.isfinite(m["G-MPJPE"].avg)
+    # self-consistent synthetic scene, 5 iters of drift: errors stay small
+    assert m["PA-MPJPE"].avg < 200.0
+
+    # the eval_dataset CLI path over the same outputs
+    acc = eval_dataset.main([
+        "--dataset", "3dpw", "--cfg", str(cfg_file),
+        "--out_dir", str(out_dir), "--sequences", seq, "--seeds", "1",
+    ])
+    assert acc["metrics"]["PA-MPJPE"].count > 0
