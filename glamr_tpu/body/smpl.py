@@ -191,12 +191,19 @@ _DEFAULT: dict = {}
 
 def get_smpl(pose_type: str = "body26fk", synthetic: bool | None = None,
              num_verts: int | None = None) -> SMPL:
-    """Process-wide cached SMPL instances (model arrays are shared)."""
+    """Process-wide cached SMPL instances (model arrays are shared).
+
+    Construction is pinned to the CPU backend: building the model issues
+    dozens of small ops whose compiles each cost a round-trip when the
+    default device is a (possibly remote) TPU; jitted consumers transfer
+    the arrays once at compile time.
+    """
     key = (pose_type, synthetic, num_verts)
     if key not in _DEFAULT:
-        if synthetic:
-            model = synthetic_smpl_model(num_verts or 1728)
-        else:
-            model = load_smpl()
-        _DEFAULT[key] = SMPL(model, pose_type)
+        with jax.default_device(jax.devices("cpu")[0]):
+            if synthetic:
+                model = synthetic_smpl_model(num_verts or 1728)
+            else:
+                model = load_smpl()
+            _DEFAULT[key] = SMPL(model, pose_type)
     return _DEFAULT[key]
