@@ -1,7 +1,7 @@
 """Model registry (mirrors the reference's model_dict pattern:
 motion_infiller/models/__init__.py:5-7, traj_pred/models/__init__.py:4-6)."""
 from .configs import MotionInfillerConfig, TrajPredConfig, TransformerSpec
-from .dist import Normal
+from .dist import Categorical, Normal
 from .joint_model import JointModel, load_joint_model
 from .motion_infiller import (
     MotionInfillerVAE,

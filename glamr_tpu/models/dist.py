@@ -50,3 +50,27 @@ class Normal:
 
     def mode(self) -> jax.Array:
         return self.mu
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Categorical:
+    """Categorical over logits (reference lib/utils/dist.py:54-85 — unused
+    by the shipped models but part of the distribution surface)."""
+
+    logits: jax.Array
+
+    @property
+    def probs(self) -> jax.Array:
+        return jax.nn.softmax(self.logits, axis=-1)
+
+    def sample(self, key) -> jax.Array:
+        return jax.random.categorical(key, self.logits, axis=-1)
+
+    def kl(self, p: "Categorical") -> jax.Array:
+        lq = jax.nn.log_softmax(self.logits, axis=-1)
+        lp = jax.nn.log_softmax(p.logits, axis=-1)
+        return (jnp.exp(lq) * (lq - lp)).sum(-1)
+
+    def mode(self) -> jax.Array:
+        return jnp.argmax(self.logits, axis=-1)

@@ -62,12 +62,37 @@ def compute_jvel_gt_loss(data, specs):
     return ((ov - gv) ** 2).sum(-1).mean()
 
 
+def compute_nll(data, specs):
+    return data["nll"].mean()
+
+
+def compute_jpos_frompose_gt_loss(data, specs):
+    """Joints FK'd from the decoded pose vs GT joints (:46-50); callers
+    precompute data['out_joint_pos_frompose'] via SMPL.joint_pos_from_body_pose."""
+    diff = data["out_joint_pos_frompose"] - data["gt_joint_pos"]
+    return (diff**2).sum(-1).mean()
+
+
+def compute_jpos_consist_loss(data, specs):
+    """Consistency between directly-decoded joints and FK-from-pose (:53-57)."""
+    diff = data["out_joint_pos_frompose"] - data["out_joint_pos"]
+    return (diff**2).sum(-1).mean()
+
+
 def compute_vae_z_kld(data, specs):
     """KL(q‖p) with min-clip (reference :60-71)."""
     kld = data["q_z_dist"].kl(data["p_z_dist"]).sum(-1)
     if specs.get("clamp_before_mean", True):
         return jnp.maximum(kld, specs.get("min_clip", 0.0)).mean()
     return jnp.maximum(kld.mean(), specs.get("min_clip", 0.0))
+
+
+def compute_vae_z_kld_bidir(data, specs):
+    """Bidirectional KLD variant (:74-79)."""
+    kf = data["q_z_dist_forward"].kl(data["p_z_dist_forward"]).sum(-1)
+    kb = data["q_z_dist_backward"].kl(data["p_z_dist_backward"]).sum(-1)
+    kld = (kf + kb) * 0.5
+    return jnp.maximum(kld, specs.get("min_clip", 0.0)).mean()
 
 
 def _seq_kld_smoothness(dist):
@@ -131,11 +156,15 @@ def compute_dheading_smoothness(data, specs):
 
 
 infiller_loss_dict = {
+    "nll": compute_nll,
     "mse": compute_mse,
     "rot6d_mse": compute_rot6d_mse,
     "jpos_gt": compute_jpos_gt_loss,
     "jvel_gt": compute_jvel_gt_loss,
+    "jpos_frompose": compute_jpos_frompose_gt_loss,
+    "jpos_consist": compute_jpos_consist_loss,
     "vae_z_kld": compute_vae_z_kld,
+    "vae_z_kld_bidir": compute_vae_z_kld_bidir,
     "vae_p_z_sm": compute_vae_z_prior_smoothness,
     "vae_q_z_sm": compute_vae_z_posterior_smoothness,
 }
