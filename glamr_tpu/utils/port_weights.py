@@ -98,10 +98,43 @@ def port_lstm_cell(sd: dict, prefix: str) -> dict:
     return out
 
 
+def port_gru_cell(sd: dict, prefix: str) -> dict:
+    """torch nn.GRUCell -> flax GRUCell param dict.
+
+    torch gate row order is (r, z, n); both use
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn)), so the mapping is
+    exact: ir/iz/in get b_ih slices, hn gets b_hh's n slice, hr/hz have
+    no bias in flax so b_hh's r/z slices are folded into b_ih (valid
+    because r = sigma(W_ir x + b_ir + W_hr h + b_hr) is a plain sum).
+    """
+    w_ih = sd[f"{prefix}.weight_ih"]           # (3H, in)
+    w_hh = sd[f"{prefix}.weight_hh"]           # (3H, H)
+    b_ih = sd[f"{prefix}.bias_ih"]
+    b_hh = sd[f"{prefix}.bias_hh"]
+    H = w_hh.shape[1]
+    out = {}
+    for gi, g in enumerate("rzn"):
+        s = slice(gi * H, (gi + 1) * H)
+        i_bias = b_ih[s] if g == "n" else b_ih[s] + b_hh[s]
+        out[f"i{g}"] = {"kernel": np.ascontiguousarray(w_ih[s].T),
+                        "bias": i_bias}
+        h = {"kernel": np.ascontiguousarray(w_hh[s].T)}
+        if g == "n":
+            h["bias"] = b_hh[s]
+        out[f"h{g}"] = h
+    return out
+
+
 def port_rnn(sd: dict, prefix: str, bi_dir: bool = True) -> dict:
-    out = {"cell_f": port_lstm_cell(sd, f"{prefix}.rnn_f")}
+    cell_port = (port_lstm_cell if f"{prefix}.rnn_f.weight_ih" in sd and
+                 sd[f"{prefix}.rnn_f.weight_ih"].shape[0] % 4 == 0 and
+                 f"{prefix}.rnn_f.weight_hh" in sd and
+                 sd[f"{prefix}.rnn_f.weight_ih"].shape[0]
+                 == 4 * sd[f"{prefix}.rnn_f.weight_hh"].shape[1]
+                 else port_gru_cell)
+    out = {"cell_f": cell_port(sd, f"{prefix}.rnn_f")}
     if bi_dir:
-        out["cell_b"] = port_lstm_cell(sd, f"{prefix}.rnn_b")
+        out["cell_b"] = cell_port(sd, f"{prefix}.rnn_b")
     return out
 
 

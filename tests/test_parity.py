@@ -228,3 +228,29 @@ class TestTrajPredParity:
         err_t = np.abs(my_trans - ref_trans).max()
         assert err_l < 2e-4, f"local traj mismatch: {err_l}"
         assert err_t < 2e-3, f"trans mismatch: {err_t}"
+
+
+class TestGRUPortParity:
+    def test_gru_cell_matches(self):
+        """torch GRUCell forward == flax GRUCell with ported weights."""
+        import jax
+        import jax.numpy as jnp
+        import flax.linen as nn
+
+        from glamr_tpu.utils.port_weights import port_gru_cell
+
+        torch.manual_seed(3)
+        cell_t = torch.nn.GRUCell(6, 8)
+        sd = {f"g.{k}": v.detach().numpy() for k, v in cell_t.state_dict().items()}
+        # rename to the reference RNN layout (rnn_f.weight_ih etc.)
+        sd = {k.replace("g.", "rnn.rnn_f."): v for k, v in sd.items()}
+        params = {"params": port_gru_cell(sd, "rnn.rnn_f")}
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, (4, 6)).astype(np.float32)
+        h = rng.normal(0, 1, (4, 8)).astype(np.float32)
+        with torch.no_grad():
+            out_t = cell_t(torch.from_numpy(x), torch.from_numpy(h)).numpy()
+        cell_f = nn.GRUCell(8)
+        (new_h, _) = cell_f.apply(params, jnp.asarray(h), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(new_h), out_t, atol=1e-5)
