@@ -17,6 +17,8 @@ def main(argv=None):
     parser.add_argument("--out_dir", default="out/glamr_tpu/vis_joint")
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--sample_num", type=int, default=None,
+                        help="samples per sequence (default: cfg num_motion_samp)")
     args = parser.parse_args(argv)
 
     import jax
@@ -25,7 +27,6 @@ def main(argv=None):
 
     from ..data import AMASSDataset, synthetic_amass_data
     from ..models import load_joint_model
-    from ..models.motion_infiller import num_latents
     from ..transforms import quaternion_to_angle_axis
     from ..utils import Config, create_logger
     from ..vis import SMPLVisualizer
@@ -49,27 +50,29 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     np_rng = np.random.default_rng(args.seed)
-    L = num_latents(jm.mfiller.cfg, seq_len)
+    sample_num = args.sample_num or int(cfg.get("num_motion_samp", 1))
     for i in range(args.num_seq):
         s = ds.sample(np_rng)
-        rng, k1, k2 = jax.random.split(rng, 3)
-        out = jm.infer(
+        rng, k = jax.random.split(rng)
+        out = jm.infer_samples(
             jnp.asarray(s["in_body_pose"])[None],
             jnp.asarray(s["frame_mask"])[None],
-            motion_eps=jax.random.normal(k1, (L, 1, jm.mfiller.cfg.nz)),
-            traj_eps=jax.random.normal(k2, (1, jm.trajpred.cfg.nz)),
+            k, sample_num=sample_num,
         )
         gt = {"orient": s["pose"][:, :3], "body_pose": s["pose"][:, 3:],
               "betas": s["shape"], "trans": s["trans"]}
-        sample = {
-            "orient": np.asarray(quaternion_to_angle_axis(out["orient_q"]))[0],
-            "body_pose": np.asarray(out["body_pose"])[0],
-            "betas": s["shape"],
-            "trans": np.asarray(out["trans"])[0],
-            "visible": s["frame_mask"],
-        }
+        motions = [gt]
+        for j in range(sample_num):
+            motions.append({
+                "orient": np.asarray(
+                    quaternion_to_angle_axis(out["orient_q"][j]))[0],
+                "body_pose": np.asarray(out["body_pose"][j])[0],
+                "betas": s["shape"],
+                "trans": np.asarray(out["trans"][j])[0],
+                "visible": s["frame_mask"],
+            })
         v = SMPLVisualizer(smpl=jm.smpl, width=480, height=360)
-        v.set_motions([gt, sample])
+        v.set_motions(motions)
         path = os.path.join(args.out_dir, f"seq_{i}.mp4")
         v.save_animation_as_video(path, num_fr=seq_len)
         log.info(f"wrote {path}")

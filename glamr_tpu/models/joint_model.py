@@ -113,6 +113,36 @@ class JointModel:
         return (1, self.trajpred.cfg.nz)
 
     # ------------------------------------------------------------ inference
+    def infer_samples(
+        self,
+        in_body_pose: jax.Array,   # (B, T, 69)
+        frame_mask: jax.Array,     # (B, T)
+        rng: jax.Array,
+        sample_num: int = 1,
+        init_xy: Optional[jax.Array] = None,
+        init_heading: Optional[jax.Array] = None,
+    ) -> dict:
+        """Draw sample_num independent prior samples (the reference's
+        sample_num / num_motion_samp path, motion_traj_joint_model.py:141
+        + cfg num_motion_samp) — vmapped over the sample axis; outputs get
+        a leading (S, ...) axis."""
+        from .motion_infiller import num_latents
+
+        T = in_body_pose.shape[1]
+        L = num_latents(self.mfiller.cfg, T)
+        B = in_body_pose.shape[0]
+        k1, k2 = jax.random.split(rng)
+        motion_eps = jax.random.normal(
+            k1, (sample_num, L, B, self.mfiller.cfg.nz))
+        traj_eps = jax.random.normal(
+            k2, (sample_num, B, self.trajpred.cfg.nz))
+
+        def one(me, te):
+            return self.infer(in_body_pose, frame_mask, me, te,
+                              init_xy, init_heading)
+
+        return jax.vmap(one)(motion_eps, traj_eps)
+
     def infer(
         self,
         in_body_pose: jax.Array,   # (B, T, 69) masked body pose

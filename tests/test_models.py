@@ -222,3 +222,46 @@ class TestJointModel:
         assert out["trans"].shape == (1, T, 3)
         assert out["local_traj"].shape == (1, T, 11)
         assert np.isfinite(np.asarray(out["trans"])).all()
+
+
+class TestJointModelSamples:
+    def test_infer_samples_shapes(self):
+        """Multi-sample inference returns a leading (S, ...) axis with
+        distinct samples per draw."""
+        import jax
+        import jax.numpy as jnp
+        from glamr_tpu.body import get_smpl
+        from glamr_tpu.models import JointModel, MotionInfillerVAE, TrajPredVAE
+        from glamr_tpu.models.configs import (MotionInfillerConfig,
+                                              TrajPredConfig, TransformerSpec)
+
+        tf = TransformerSpec(nlayer=1, model_dim=32, nhead=2, ff_dim=64,
+                             dropout=0.0)
+        mcfg = MotionInfillerConfig(nz=4, past_nframe=2, cur_nframe=5,
+                                    fut_nframe=2, ctx_in_fc=32,
+                                    ctx_transformer=tf, enc_transformer=tf,
+                                    dec_transformer=tf, prior_transformer=tf,
+                                    dec_out_mlp=(32,))
+        tcfg = TrajPredConfig(nz=4, seq_len=8, ctx_in_mlp=(32,), ctx_rnn_hdim=32,
+                              ctx_rnn_layers=1, ctx_out_mlp=(32,),
+                              enc_in_mlp=(32,), enc_rnn_hdim=32,
+                              enc_rnn_layers=1, enc_out_mlp=(32,),
+                              enc_fusion_mlp=(32,), dec_out_mlp=(32,),
+                              dec_prior_mlp=(32,))
+        mf, tp = MotionInfillerVAE(mcfg), TrajPredVAE(tcfg)
+        rng = jax.random.PRNGKey(0)
+        W = mcfg.window_len
+        mfp = mf.init(rng, jnp.zeros((1, W, 69)), jnp.zeros((1, W, 69)),
+                      jnp.ones((1, W)))
+        q0 = jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, 8, 1))
+        tpp = tp.init(rng, jnp.zeros((1, 8, 69)), jnp.zeros((1, 8, 3)), q0)
+        jm = JointModel(mfiller=mf, mfiller_params=mfp, trajpred=tp,
+                        trajpred_params=tpp,
+                        smpl=get_smpl("body26fk", synthetic=True))
+        T, B, S = 16, 2, 3
+        out = jm.infer_samples(jnp.zeros((B, T, 69)), jnp.ones((B, T)),
+                               jax.random.PRNGKey(1), sample_num=S)
+        assert out["body_pose"].shape == (S, B, T, 69)
+        assert out["trans"].shape == (S, B, T, 3)
+        # samples differ
+        assert np.abs(np.asarray(out["trans"][0] - out["trans"][1])).max() > 1e-6
