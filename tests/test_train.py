@@ -168,3 +168,21 @@ class TestNativeSampler:
         for i in range(4):
             eff = int(lm[i].sum())
             assert np.abs(b["pose"][i, eff:] - b["pose"][i, eff - 1]).max() == 0
+
+
+class TestTrainCLI:
+    @pytest.mark.slow
+    def test_train_and_resume(self, tmp_path, monkeypatch):
+        """Train CLI end-to-end on synthetic data, then resume from the
+        written checkpoint (reference --resume, train.py:32-34,111)."""
+        monkeypatch.chdir(tmp_path)
+        from glamr_tpu.cli import train as train_cli
+
+        argv = ["--model", "motion_infiller", "--synthetic_data",
+                "--epochs", "1", "--steps_per_epoch", "1", "--batch_size", "8"]
+        train_cli.main(argv)
+        import glob
+        cps = glob.glob(str(tmp_path / "results" / "**" / "checkpoints" / "*.pkl"),
+                        recursive=True)
+        assert cps, "no checkpoint written"
+        train_cli.main(argv + ["--resume", cps[0]])
