@@ -50,6 +50,16 @@ def main(argv=None):
         evaluator.update_accumulated_metrics(md, name=seq)
         evaluator.print_metrics(md, prefix=f"{seq} | ", print_accum=False)
     evaluator.print_metrics(prefix="TOTAL | ")
+
+    # persist the aggregate metrics next to the recon outputs
+    import yaml
+
+    metrics_file = os.path.join(out_dir, "metrics.yml")
+    dump = {k: float(v.avg) for k, v in evaluator.acc_metrics_dict["metrics"].items()
+            if not hasattr(v.avg, "ndim") or getattr(v.avg, "ndim", 0) == 0}
+    with open(metrics_file, "w") as f:
+        yaml.safe_dump(dump, f)
+    log.info(f"wrote {metrics_file}")
     return evaluator.acc_metrics_dict
 
 

@@ -147,7 +147,7 @@ def main(argv=None):
         make_val = lambda r: build_trajpred_batch(val_ds, r, batch_size, smpl)
 
     if args.resume:
-        state = load_checkpoint(args.resume)
+        state = load_checkpoint(args.resume, target=jax.device_get(state))
         log.info(f"resumed from {args.resume}")
     state = replicate(state, mesh)
 

@@ -28,12 +28,17 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None):
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a checkpoint. Pass `target` (a pytree of the expected
+    structure) to get typed containers back — orbax otherwise returns
+    plain nested dicts."""
     path = os.path.abspath(path)
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path, target) if target is not None else ckptr.restore(path)
+        if target is not None:
+            return ckptr.restore(path, target)
+        return ckptr.restore(path)
     pkl = path if path.endswith(".pkl") else path + ".pkl"
     with open(pkl, "rb") as f:
         return pickle.load(f)
