@@ -21,3 +21,25 @@ utils       config system, logging
 """
 
 __version__ = "0.1.0"
+
+
+_SUBPACKAGES = (
+    "transforms", "body", "models", "recon", "eval", "data", "train",
+    "parallel", "pose_est", "preprocess", "vis", "utils", "cli",
+)
+
+
+def __getattr__(name):
+    """Lazy subpackage access: `import glamr_tpu; glamr_tpu.recon...`
+    without paying the import cost of unused stacks."""
+    if name in _SUBPACKAGES:
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module 'glamr_tpu' has no attribute '{name}'")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBPACKAGES))

@@ -135,40 +135,6 @@ class GlobalReconOptimizer:
             out[p] = pad_local_traj_span(local, s, T)
         return out
 
-    def _infer_motion_traj(self, bp: BatchedPersons, motion_eps, traj_eps):
-        """Run the CVAE joint model per person over its exist span
-        (reference infer_motion_traj :353-392). Returns (smpl_pose (may be
-        infilled), orient_w base, trans_w base, traj_local_pred)."""
-        jm = self.joint_model
-        P, T = bp.smpl_pose.shape[:2]
-        smpl_pose = bp.smpl_pose.copy()
-        orient_w = np.zeros((P, T, 3), np.float32)
-        trans_w = np.zeros((P, T, 3), np.float32)
-        traj_local = np.zeros((P, T, 11), np.float32)
-        from ..transforms.traj import pad_local_traj_span
-
-        for p in range(P):
-            s, e = int(bp.fr_start[p]), int(bp.fr_end[p])
-            body = jnp.asarray(bp.smpl_pose_nofill[p, s:e])[None]
-            mask = jnp.asarray(bp.visible[p, s:e])[None]
-            out = jm.infer(
-                body, mask,
-                motion_eps=motion_eps[p] if motion_eps is not None else None,
-                traj_eps=traj_eps[p] if traj_eps is not None else None,
-            )
-            if self.flag_infill_motion:
-                smpl_pose[p, s:e] = np.asarray(out["body_pose"][0])
-            traj_local[p] = pad_local_traj_span(np.asarray(out["local_traj"][0]), s, T)
-            orient_full = np.asarray(quaternion_to_angle_axis(out["orient_q"][0]))
-            orient_w[p, s:e] = orient_full
-            trans_w[p, s:e] = np.asarray(out["trans"][0])
-            # hold span edges
-            orient_w[p, :s] = orient_w[p, s]
-            orient_w[p, e:] = orient_w[p, e - 1]
-            trans_w[p, :s] = trans_w[p, s]
-            trans_w[p, e:] = trans_w[p, e - 1]
-        return smpl_pose, orient_w, trans_w, traj_local
-
     def _init_cam_pose(self, person_tf_world, person2cam, bp: BatchedPersons,
                        all_frames: bool):
         """Camera from person pose (reference init_cam_pose :294-317).
@@ -257,23 +223,57 @@ class GlobalReconOptimizer:
         )
         P, T = bp.num_persons, bp.num_fr
 
-        # latents (optimizable when the flags say so)
-        motion_eps = traj_eps = None
+        # span-rolled views (used both by init-time CVAE inference and by
+        # CVAE-in-the-loop latent optimization — ONE batched code path)
+        t_idx0 = np.arange(T)[None, :]
+        src0 = np.clip(bp.fr_start[:, None] + t_idx0, 0, bp.fr_end[:, None] - 1)
+        in_pose_rolled0 = np.take_along_axis(
+            bp.smpl_pose_nofill, src0[..., None], axis=1).astype(np.float32)
+        span_len0 = (bp.fr_end - bp.fr_start)[:, None]
+        mask_rolled0 = np.where(
+            t_idx0 < span_len0,
+            np.take_along_axis(bp.visible, src0, axis=1), 1.0
+        ).astype(np.float32)
+        unroll_idx0 = np.clip(t_idx0 - bp.fr_start[:, None], 0, T - 1).astype(np.int32)
+
+        # CVAE inference at init (reference infer_motion_traj :353-392):
+        # same batched span-rolled decode the latent-optimization phase
+        # uses, so switching to live latents at opt_latent_start_iter is
+        # value-continuous. Per-seed prior samples seed the latents.
+        init_latents = None
         if self.joint_model is not None and self.flag_infer_motion_traj:
+            from ..models.motion_infiller import num_windows
+            from .forward import cvae_pred
+
             jm = self.joint_model
             eps_rng = np.random.default_rng(seed)
-            motion_eps, traj_eps = [], []
-            for p in range(P):
-                L, nz = jm.motion_latent_shape(int(bp.fr_end[p] - bp.fr_start[p]))
-                motion_eps.append(
-                    eps_rng.standard_normal((L, 1, nz)).astype(np.float32))
-                traj_eps.append(
-                    eps_rng.standard_normal(
-                        jm.traj_latent_shape(0)).astype(np.float32))
-            smpl_pose, orient_w, trans_w, traj_local_pred = self._infer_motion_traj(
-                bp, motion_eps, traj_eps
-            )
-            bp.smpl_pose = smpl_pose
+            L = num_windows(jm.mfiller.cfg, T)
+            motion_eps = eps_rng.standard_normal(
+                (P, L, jm.mfiller.cfg.nz)).astype(np.float32)
+            traj_eps = eps_rng.standard_normal(
+                (P, jm.trajpred.cfg.nz)).astype(np.float32)
+            init_latents = (motion_eps, traj_eps)
+            params_stub = {"motion_latent": jnp.asarray(motion_eps),
+                           "traj_latent": jnp.asarray(traj_eps)}
+            const_stub = {
+                "in_pose_rolled": jnp.asarray(in_pose_rolled0),
+                "mask_rolled": jnp.asarray(mask_rolled0),
+                "unroll_idx": jnp.asarray(unroll_idx0),
+                "exist_mask": jnp.asarray(bp.exist_frames.astype(np.float32)),
+                "smpl_pose": jnp.asarray(bp.smpl_pose),
+            }
+            smpl_pose_j, traj_local_pred_j = cvae_pred(params_stub, const_stub, jm)
+            if self.flag_infill_motion:
+                bp.smpl_pose = np.asarray(smpl_pose_j)
+            traj_local_pred = np.array(traj_local_pred_j)  # writable copy
+            trans_j, orient_q_j = traj_local2global_heading(traj_local_pred_j)
+            clamp = jnp.asarray(np.stack([
+                np.clip(np.arange(T), int(bp.fr_start[p]), int(bp.fr_end[p]) - 1)
+                for p in range(P)]))
+            trans_j = jnp.take_along_axis(trans_j, clamp[..., None], axis=1)
+            orient_q_j = jnp.take_along_axis(orient_q_j, clamp[..., None], axis=1)
+            orient_w = np.asarray(quaternion_to_angle_axis(orient_q_j))
+            trans_w = np.asarray(trans_j)
         else:
             if not self.flags.pred_traj or not self.flag_infer_motion_traj:
                 orient_w, trans_w = self._traj_base_from_est(bp)
@@ -344,17 +344,8 @@ class GlobalReconOptimizer:
         n_exist = (bp.fr_end - bp.fr_start).astype(np.float32)
         first_any = int(np.argmax(bp.fr_num_persons > 0))
 
-        # span-rolled views for CVAE-in-the-loop latent optimization
-        t_idx = np.arange(T)[None, :]
-        src = np.clip(bp.fr_start[:, None] + t_idx, 0, bp.fr_end[:, None] - 1)
-        in_pose_rolled = np.take_along_axis(
-            bp.smpl_pose_nofill, src[..., None], axis=1)
-        span_len = (bp.fr_end - bp.fr_start)[:, None]
-        mask_rolled = np.where(
-            t_idx < span_len,
-            np.take_along_axis(bp.visible, src, axis=1), 1.0
-        ).astype(np.float32)
-        unroll_idx = np.clip(t_idx - bp.fr_start[:, None], 0, T - 1).astype(np.int32)
+        in_pose_rolled, mask_rolled, unroll_idx = (
+            in_pose_rolled0, mask_rolled0, unroll_idx0)
 
         const = {
             "kp_2d": bp.kp_2d, "kp_2d_score": bp.kp_2d_score, "cam_K": bp.cam_K,
@@ -398,6 +389,12 @@ class GlobalReconOptimizer:
         const = {k: jnp.asarray(v) for k, v in const.items()}
 
         params = self._init_params(P, T)
+        if init_latents is not None:
+            # latents start from the init-time prior samples (reference
+            # get_latent :613-616 draws randn), so the latent-optimization
+            # phase continues exactly from the init inference
+            params["motion_latent"] = jnp.asarray(init_latents[0])
+            params["traj_latent"] = jnp.asarray(init_latents[1])
         return {
             "const": const, "params": params, "bp": bp,
             "seq_name": in_dict.get("seq_name", "seq"),
