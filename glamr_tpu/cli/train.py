@@ -157,7 +157,8 @@ def main(argv=None):
     t_start = time.time()
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    for epoch in range(epochs):
+    try:
+      for epoch in range(epochs):
         t0 = time.time()
         train_loss = 0.0
         for it in range(steps):
@@ -184,6 +185,13 @@ def main(argv=None):
             save_checkpoint(os.path.join(cp_dir, "best.pkl"), host_state)
         if (epoch + 1) % save_n == 0 or epoch == epochs - 1:
             save_checkpoint(os.path.join(cp_dir, f"epoch={epoch}.pkl"), host_state)
+    except (KeyboardInterrupt, Exception) as e:
+        # failure recovery (SURVEY §5.3 gap in the reference): always
+        # leave a resumable checkpoint behind, whatever interrupted us
+        emergency = os.path.join(cp_dir, "interrupted.pkl")
+        save_checkpoint(emergency, jax.device_get(state))
+        log.info(f"interrupted ({type(e).__name__}); wrote {emergency}")
+        raise
     if args.profile:
         jax.profiler.stop_trace()
         log.info(f"profiler trace written to {args.profile}")

@@ -149,3 +149,19 @@ class TestJointsFast:
 
     def test_subset_is_small(self, smpl):
         assert smpl._sub_v_template.shape[0] < smpl.model.num_verts
+
+
+class TestPallasLBS:
+    def test_fallback_matches_einsum(self, smpl, rng):
+        """Off-TPU the fused-LBS entry point must route to the einsum path
+        and match it exactly (on-TPU correctness is asserted in the kernel
+        module docstring benchmark: 2.4e-7 max err at V=6912)."""
+        from glamr_tpu.body.pallas_lbs import lbs_verts
+        from glamr_tpu.body.lbs import lbs as lbs_einsum
+
+        B = 3
+        betas = jnp.asarray(rng.normal(0, 0.5, (B, 10)).astype(np.float32))
+        pose = jnp.asarray(rng.normal(0, 0.3, (B, 72)).astype(np.float32))
+        v1, j1 = lbs_verts(smpl.model, betas, pose)
+        v2, j2 = lbs_einsum(smpl.model, betas, pose)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
