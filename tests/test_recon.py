@@ -304,3 +304,74 @@ class TestLatentOptimization:
         g = jax.grad(loss)(data["params"])
         assert float(np.abs(np.asarray(g["motion_latent"])).max()) > 0
         assert float(np.abs(np.asarray(g["traj_latent"])).max()) > 0
+
+
+class TestBranchCoverage:
+    """Exercise forward-graph branches the shipped demo path doesn't:
+    person-derived camera with person-free frames (forward fill +
+    residual masks), vec heading type, vis-only local rot."""
+
+    def _gap_in_dict(self):
+        # both persons share an occlusion gap -> frames with NO visible person
+        ind = make_synthetic_in_dict(np.random.default_rng(3), T=24,
+                                     persons=(False, False))
+        return ind
+
+    def test_person_cam_mode_with_empty_frames(self, smpl_syn):
+        ind = self._gap_in_dict()
+        stage = {"init_opt": {
+            "opt_lr": 1e-2, "opt_niters": 6,
+            "opt_variables": ["local_xy", "local_heading"],
+            "loss_cfg": {
+                "kp_2d": {"weight": 1.0, "min_conf": 0.3},
+                "cam_inv_trans_residual_reg": {"weight": 1.0},
+                "cam_origin_smoothness": {"weight": 1.0},
+            },
+        }}
+        specs = {"flag_opt_cam_from_person_pose": True}
+        opt = GlobalReconOptimizer(FakeCfg(stage, specs), smpl=smpl_syn)
+        data = opt.init_data(ind)
+        # some frames truly have zero visible persons
+        assert (np.asarray(data["const"]["fr_num_persons"]) == 0).any()
+        derived = recon_forward(data["params"], data["const"], smpl_syn,
+                                opt.flags, "person")
+        cam = np.asarray(derived["cam_pose_inv"])
+        assert np.isfinite(cam).all()
+        # forward fill: empty-frame cameras equal the last visible frame's
+        num = np.asarray(data["const"]["fr_num_persons"])
+        empty = np.where(num == 0)[0]
+        if empty.size:
+            t = int(empty[0])
+            prev = t - 1
+            while num[prev] == 0:
+                prev -= 1
+            np.testing.assert_allclose(cam[t], cam[prev], atol=1e-5)
+        out = opt.optimize(ind)
+        assert np.isfinite(out["cam_pose"]).all()
+
+    def test_vec_heading_type(self, in_dict, smpl_syn):
+        stage = {"init_opt": {
+            "opt_lr": 1e-2, "opt_niters": 5,
+            "opt_variables": ["local_xy", "local_heading", "local_dheading"],
+            "loss_cfg": {"kp_2d": {"weight": 1.0, "min_conf": 0.3}},
+        }}
+        opt = GlobalReconOptimizer(
+            FakeCfg(stage, {"flag_fixed_cam": True, "heading_type": "vec"}),
+            smpl=smpl_syn)
+        out = opt.optimize(in_dict)
+        for pd in out["person_data"].values():
+            assert np.isfinite(pd["root_trans_world"]).all()
+
+    def test_vis_local_rot_flag(self, in_dict, smpl_syn):
+        stage = {"init_opt": {
+            "opt_lr": 1e-2, "opt_niters": 5,
+            "opt_variables": ["local_rot"],
+            "loss_cfg": {"kp_2d": {"weight": 1.0, "min_conf": 0.3}},
+        }}
+        opt = GlobalReconOptimizer(
+            FakeCfg(stage, {"flag_fixed_cam": True,
+                            "flag_opt_vis_local_rot": True}),
+            smpl=smpl_syn)
+        out = opt.optimize(in_dict)
+        for pd in out["person_data"].values():
+            assert np.isfinite(pd["smpl_orient_world"]).all()
