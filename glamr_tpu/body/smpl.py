@@ -10,8 +10,6 @@ extras, then an index map selects/orders per pose type ('body26fk', ...).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -11,7 +11,7 @@ arrays, which is exactly what stage-4 latent optimization requires
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax

@@ -13,7 +13,6 @@ outputs + batch targets:
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..transforms import (

@@ -20,7 +20,6 @@ TPU-native differences:
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from ..transforms.heading import get_heading, heading_to_vec
 from ..transforms.rotation import (
-    angle_axis_to_quaternion,
     quat_to_rot6d,
     quaternion_to_angle_axis,
     rot6d_to_quat,

@@ -16,8 +16,8 @@ smpl_beta, root_trans, kp_2d, cam_K, bboxes_dict{exist}.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Optional
+from dataclasses import dataclass
+from typing import Any
 
 import numpy as np
 from scipy.spatial.transform import Rotation as _R

@@ -22,7 +22,6 @@ same output keys the visualizer/evaluator consume.
 from __future__ import annotations
 
 import time
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

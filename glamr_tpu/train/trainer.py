@@ -10,8 +10,7 @@ Gradient clip 5.0 and Adam lr match the reference configs
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

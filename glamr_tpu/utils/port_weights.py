@@ -21,8 +21,6 @@ DataDecoder :202 incl. prior :265).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from .checkpoint import load_torch_state_dict, port_layernorm, port_linear

@@ -1,7 +1,6 @@
 """Small host-side helpers (reference: lib/utils/tools.py)."""
 from __future__ import annotations
 
-import glob
 import os
 import re
 from typing import Optional

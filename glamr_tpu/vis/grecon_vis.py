@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 from .renderer import Camera, Visualizer3D
-from .smpl_vis import SMPLActor, SkeletonActor, _COLORS
+from .smpl_vis import SMPLActor, _COLORS
 from .video import _read_video
 
 

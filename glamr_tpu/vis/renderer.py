@@ -7,14 +7,13 @@ call save_animation_as_video().
 """
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import cv2
 import numpy as np
 
-from .video import checkerboard_texture, frames_to_video
+from .video import frames_to_video
 
 
 @dataclass

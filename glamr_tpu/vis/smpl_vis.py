@@ -11,8 +11,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ..body.constants import BODY26FK_EDGES, SMPL_PARENTS
-from .renderer import Camera, Visualizer3D
+from ..body.constants import SMPL_PARENTS
+from .renderer import Visualizer3D
 
 _COLORS = [(90, 160, 255), (255, 140, 90), (120, 220, 120), (230, 110, 230),
            (250, 210, 90), (140, 140, 255)]
