@@ -6,6 +6,7 @@ from .joint_model import JointModel, load_joint_model
 from .motion_infiller import (
     MotionInfillerVAE,
     infill_multi_step,
+    recon_multi_step,
     num_latents,
     num_windows,
 )

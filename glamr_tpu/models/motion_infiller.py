@@ -309,3 +309,42 @@ def infill_multi_step(
     xs = (jnp.arange(nwin), eps)
     buf, _ = jax.lax.scan(step, buf, xs)
     return buf[:, :T]
+
+
+def recon_multi_step(
+    model: MotionInfillerVAE,
+    params,
+    in_body_pose: jax.Array,    # (B, T, 69) masked input pose
+    gt_body_pose: jax.Array,    # (B, T, 69) ground truth
+    frame_mask: jax.Array,      # (B, T)
+) -> jax.Array:
+    """Sliding-window posterior-mode reconstruction (the reference's
+    inference(recon=True) multi-step path, motion_infiller_vae.py:643-667
+    with recon mode) — same stitching scheme as infill_multi_step but
+    each window decodes the posterior mode conditioned on GT."""
+    cfg = model.cfg
+    B, T, D = in_body_pose.shape
+    W = cfg.window_len
+    nwin = num_windows(cfg, T)
+    pad_to = cfg.past_nframe + nwin * cfg.cur_nframe + cfg.fut_nframe
+    buf = jnp.pad(in_body_pose, ((0, 0), (0, pad_to - T), (0, 0)))
+    gt = jnp.pad(gt_body_pose, ((0, 0), (0, pad_to - T), (0, 0)))
+    mask = jnp.pad(frame_mask, ((0, 0), (0, pad_to - T)))
+
+    def step(carry, i):
+        buf = carry
+        sind = i * cfg.cur_nframe
+        win = jax.lax.dynamic_slice_in_dim(buf, sind, W, axis=1)
+        gt_win = jax.lax.dynamic_slice_in_dim(gt, sind, W, axis=1)
+        win_mask = jax.lax.dynamic_slice_in_dim(mask, sind, W, axis=1)
+        forced = jnp.concatenate(
+            [jnp.ones_like(win_mask[:, : cfg.past_nframe]),
+             win_mask[:, cfg.past_nframe:]], axis=1,
+        )
+        out = model.apply(params, win, gt_win, forced,
+                          method=MotionInfillerVAE.recon_step)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, out, sind, axis=1)
+        return buf, None
+
+    buf, _ = jax.lax.scan(step, buf, jnp.arange(nwin))
+    return buf[:, :T]

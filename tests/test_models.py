@@ -265,3 +265,33 @@ class TestJointModelSamples:
         assert out["trans"].shape == (S, B, T, 3)
         # samples differ
         assert np.abs(np.asarray(out["trans"][0] - out["trans"][1])).max() > 1e-6
+
+
+def test_recon_multi_step_matches_gt_when_trained_identity():
+    """recon_multi_step runs the sliding-window recon path; shape + the
+    pass-through property (initial past frames preserved)."""
+    import jax
+    import jax.numpy as jnp
+    from glamr_tpu.models import MotionInfillerVAE, recon_multi_step
+    from glamr_tpu.models.configs import MotionInfillerConfig, TransformerSpec
+
+    tf = TransformerSpec(nlayer=1, model_dim=32, nhead=2, ff_dim=64, dropout=0.0)
+    cfg = MotionInfillerConfig(nz=4, past_nframe=2, cur_nframe=5, fut_nframe=2,
+                               ctx_in_fc=32, ctx_transformer=tf,
+                               enc_transformer=tf, dec_transformer=tf,
+                               prior_transformer=tf, dec_out_mlp=(32,))
+    model = MotionInfillerVAE(cfg)
+    W = cfg.window_len
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, W, 69)), jnp.zeros((1, W, 69)),
+                        jnp.ones((1, W)))
+    B, T = 2, 19
+    gt = jax.random.normal(rng, (B, T, 69)) * 0.2
+    mask = jnp.ones((B, T)).at[:, 6:10].set(0.0)
+    in_pose = gt * mask[..., None]
+    out = recon_multi_step(model, params, in_pose, gt, mask)
+    assert out.shape == (B, T, 69)
+    # the first past_nframe frames pass through unchanged
+    np.testing.assert_allclose(np.asarray(out[:, :cfg.past_nframe]),
+                               np.asarray(in_pose[:, :cfg.past_nframe]),
+                               atol=1e-6)
