@@ -1,4 +1,5 @@
 """Dataset pipelines: AMASS sampling with occlusion-mask synthesis."""
 from .amass import AMASSDataset, synthetic_amass_data
+from .device_sampler import DeviceSampler
 
-__all__ = ["AMASSDataset", "synthetic_amass_data"]
+__all__ = ["AMASSDataset", "DeviceSampler", "synthetic_amass_data"]

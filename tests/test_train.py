@@ -186,3 +186,135 @@ class TestTrainCLI:
                         recursive=True)
         assert cps, "no checkpoint written"
         train_cli.main(argv + ["--resume", cps[0]])
+
+
+class TestMultistep:
+    def test_multistep_matches_sequential(self):
+        """K fused steps == K sequential steps (same batches, same rng
+        folding)."""
+        from glamr_tpu.train.trainer import make_infiller_multistep
+
+        model = MotionInfillerVAE(MCFG)
+        tx = make_tx(1e-3)
+        rng = jax.random.PRNGKey(0)
+        state_a = init_infiller(model, tx, rng)
+        state_b = jax.tree.map(lambda x: x.copy(), state_a)
+        loss_cfg = {"mse": {"weight": 1.0},
+                    "vae_z_kld": {"weight": 1e-3, "min_clip": 0.0}}
+        K, B, W = 3, 4, MCFG.window_len
+        npr = np.random.default_rng(0)
+        gt = npr.normal(0, 0.3, (K, B, W, 69)).astype(np.float32)
+        batches = {"in_body_pose": gt.copy(), "gt_body_pose": gt,
+                   "frame_mask": np.ones((K, B, W), np.float32)}
+        multi = make_infiller_multistep(model, tx, loss_cfg, K)
+        state_a, ma = multi(state_a, jax.tree.map(jnp.asarray, batches), rng)
+
+        # sequential reference with the same rng folding
+        from glamr_tpu.models.loss_func import infiller_loss_dict, weighted_total
+        import optax as _optax
+
+        r = rng
+        st = state_b
+        for k in range(K):
+            r, sub = jax.random.split(r)
+            def loss_fn(params):
+                s_rng, d_rng = jax.random.split(sub)
+                out = model.apply(params, jnp.asarray(batches["in_body_pose"][k]),
+                                  jnp.asarray(batches["gt_body_pose"][k]),
+                                  jnp.asarray(batches["frame_mask"][k]),
+                                  rng=s_rng, deterministic=False,
+                                  rngs={"dropout": d_rng})
+                total, uw = weighted_total(
+                    {**{kk: jnp.asarray(v[k]) for kk, v in batches.items()}, **out},
+                    loss_cfg, infiller_loss_dict)
+                return total
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            from glamr_tpu.train import TrainState
+            st = TrainState(params=_optax.apply_updates(st.params, updates),
+                            opt_state=opt_state, step=st.step + 1)
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            state_a.params, st.params)
+        maxdiff = max(jax.tree.leaves(diff))
+        # scan vs eager reassociates float ops; Adam's eps-normalized
+        # updates amplify the ulp-level differences — equivalence holds to
+        # optimizer-step magnitude, not machine epsilon
+        assert maxdiff < 5e-3, maxdiff
+
+
+class TestDeviceSampler:
+    def test_semantics(self):
+        """On-device sampling matches AMASSDataset semantics: shapes,
+        mask structure, masked-input zeroing, window within sequence."""
+        from glamr_tpu.data import DeviceSampler
+        data, _ = synthetic_amass_data(6, min_len=60, max_len=200)
+        ds = DeviceSampler(data)
+        b = ds.sample_batch(jax.random.PRNGKey(0), 32, 50,
+                            {"preserve_first_n": 10, "min_drop_len": 10,
+                             "max_drop_len": 40})
+        b = jax.tree.map(np.asarray, b)
+        assert b["pose"].shape == (32, 50, 72)
+        assert (b["frame_mask"][:, :10] == 1).all()
+        assert (b["frame_mask"] == 0).any(axis=1).all()
+        dropped = b["frame_mask"] == 0
+        assert np.abs(b["in_body_pose"][dropped]).sum() == 0
+        # windows contain real dataset rows: every window row must exist
+        # in the concatenated theta
+        theta = np.concatenate(list(data.values()), 0)
+        row = b["pose"][0, 0]
+        assert (np.abs(theta[:, 3:75] - row).sum(1) < 1e-6).any()
+
+    def test_short_sequences_edge_hold(self):
+        from glamr_tpu.data import DeviceSampler
+        data, _ = synthetic_amass_data(2, min_len=20, max_len=25)
+        ds = DeviceSampler(data)
+        b = jax.tree.map(np.asarray,
+                         ds.sample_batch(jax.random.PRNGKey(1), 8, 40, None))
+        lm = b["frame_loss_mask"][..., 0]
+        assert (lm.sum(1) >= 20).all() and (lm.sum(1) <= 25).all()
+        for i in range(8):
+            eff = int(lm[i].sum())
+            assert np.abs(b["pose"][i, eff:] - b["pose"][i, eff - 1]).max() == 0
+
+    def test_composes_with_train_step_under_jit(self):
+        """Sampler + train step fuse into one jitted program."""
+        from glamr_tpu.data import DeviceSampler
+        from glamr_tpu.train.trainer import make_tx
+        from glamr_tpu.models.loss_func import infiller_loss_dict, weighted_total
+        import optax
+
+        data, _ = synthetic_amass_data(4, min_len=30, max_len=60)
+        ds = DeviceSampler(data)
+        model = MotionInfillerVAE(MCFG)
+        tx = make_tx(1e-3)
+        rng = jax.random.PRNGKey(0)
+        W = MCFG.window_len
+        params = model.init(rng, jnp.zeros((1, W, 69)), jnp.zeros((1, W, 69)),
+                            jnp.ones((1, W)))
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def fused_step(params, opt_state, rng):
+            rng, kb, ks, kd = jax.random.split(rng, 4)
+            batch = ds.sample_batch(kb, 8, W, {"preserve_first_n": 2,
+                                               "min_drop_len": 2,
+                                               "max_drop_len": 4})
+            def loss_fn(p):
+                out = model.apply(p, batch["in_body_pose"],
+                                  batch["gt_body_pose"], batch["frame_mask"],
+                                  rng=ks, deterministic=False,
+                                  rngs={"dropout": kd})
+                total, _ = weighted_total({**batch, **out},
+                                          {"mse": {"weight": 1.0}},
+                                          infiller_loss_dict)
+                return total
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, rng, loss
+
+        losses = []
+        for _ in range(4):
+            params, opt_state, rng, loss = fused_step(params, opt_state, rng)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
