@@ -375,3 +375,19 @@ class TestBranchCoverage:
         out = opt.optimize(in_dict)
         for pd in out["person_data"].values():
             assert np.isfinite(pd["smpl_orient_world"]).all()
+
+
+class TestContinueOpt:
+    def test_continue_from_init_data(self, in_dict, smpl_syn):
+        """optimize(continue_opt=True) resumes from a prepared data dict
+        (reference optimize(in_dict, continue_opt=True) :572-573)."""
+        cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        data = opt.init_data(in_dict)
+        out1 = opt.optimize(data, continue_opt=True)
+        # a second continuation picks up the updated params
+        data["params"], data["const"] = data["params"], data["const"]
+        out2 = opt.optimize(data, continue_opt=True)
+        assert np.isfinite(out2["cam_pose"]).all()
+        for pd in out2["person_data"].values():
+            assert np.isfinite(pd["root_trans_world"]).all()
