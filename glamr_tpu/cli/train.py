@@ -52,6 +52,11 @@ def main(argv=None):
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--resume", default=None, help="checkpoint path")
     parser.add_argument("--ndevices", type=int, default=None)
+    parser.add_argument("--device_data", type=int, default=1,
+                        help="sample batches on-device from HBM-resident "
+                             "data (zero per-step host traffic); 0 forces "
+                             "the host pipeline (needed for gaussian-smooth "
+                             "augmentation or jpos windows)")
     parser.add_argument("--debug", action="store_true",
                         help="enable NaN checking (the reference's "
                              "autograd-anomaly-mode analog, train.py:51-52)")
@@ -146,6 +151,21 @@ def main(argv=None):
         make_batch = lambda r: build_trajpred_batch(train_ds, r, batch_size, smpl)
         make_val = lambda r: build_trajpred_batch(val_ds, r, batch_size, smpl)
 
+    # on-device batch sampling: dataset resident in HBM, zero per-step
+    # host traffic (measured: 877 -> 90 ms/step at bs 1024 on a tunneled
+    # v5e). Host pipeline remains for gaussian-smooth augmentation, the
+    # traj model's jpos windows, and multi-device sharded batches.
+    make_batch_dev = None
+    if (args.device_data and args.model == "motion_infiller"
+            and cfg.get("pose_gaussian_smooth") is None and ndev == 1):
+        from ..data import DeviceSampler
+
+        dsd = DeviceSampler(train_ds.data, train_ds.seq_prob)
+        mask_spec = (cfg.get("data_mask_methods") or {}).get("drop_frames")
+        make_batch_dev = lambda key: dsd.sample_batch(
+            key, batch_size, seq_len, mask_spec)
+        log.info("using device-resident batch sampling")
+
     if args.resume:
         state = load_checkpoint(args.resume, target=jax.device_get(state))
         log.info(f"resumed from {args.resume}")
@@ -162,8 +182,13 @@ def main(argv=None):
         t0 = time.time()
         train_loss = 0.0
         for it in range(steps):
-            batch = shard_batch(make_batch(np_rng), mesh)
-            rng, sub = jax.random.split(rng)
+            rng, sub, kb = jax.random.split(rng, 3)
+            if make_batch_dev is not None:
+                batch = make_batch_dev(kb)
+                batch = {k: batch[k] for k in
+                         ("in_body_pose", "gt_body_pose", "frame_mask")}
+            else:
+                batch = shard_batch(make_batch(np_rng), mesh)
             state, metrics = step_fn(state, batch, replicate(sub, mesh))
             train_loss += float(metrics["loss"])
         train_loss /= steps
