@@ -51,6 +51,10 @@ def main(argv=None):
     parser.add_argument("--sequences", default=None,
                         help="comma-separated subset; default = full test set")
     parser.add_argument("--cached", type=int, default=1)
+    parser.add_argument("--pad_to", type=int, default=0,
+                        help="bucket sequence lengths up to multiples of "
+                             "this (reuses compiled stage programs across "
+                             "sequences; 0 = exact shapes)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -101,7 +105,9 @@ def main(argv=None):
             out_file = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")
             if args.cached and os.path.isfile(out_file):
                 continue
-            out_dict = grecon.optimize(in_dict, seed=seed)
+            T_seq = len(next(iter(est.values()))["bboxes_dict"]["exist"])
+            pad = (-(-T_seq // args.pad_to) * args.pad_to) if args.pad_to else 0
+            out_dict = grecon.optimize(in_dict, seed=seed, pad_to=pad)
             with open(out_file, "wb") as f:
                 pickle.dump(out_dict, f)
             log.info(f"{seq} seed {seed}: wrote {out_file}")

@@ -117,6 +117,10 @@ def init_person(
 ) -> PersonData:
     """One HybrIK person dict -> PersonData (reference init_data :87-148)."""
     visible = np.asarray(pose_dict["bboxes_dict"]["exist"]).astype(np.float32)
+    if visible.shape[0] < num_fr:
+        # bucket-padded frame axis: extra frames are invisible
+        visible = np.concatenate(
+            [visible, np.zeros(num_fr - visible.shape[0], np.float32)])
     visible_orig = visible.copy()
     vis_idx = np.where(visible)[0]
     fr_start, fr_end = int(vis_idx[0]), int(vis_idx[-1]) + 1
@@ -184,10 +188,12 @@ def init_person(
 
 @dataclass
 class BatchedPersons:
-    """All persons stacked to (P, T, ...) numpy arrays."""
+    """All persons stacked to (P, T, ...) numpy arrays. T may exceed the
+    true video length when bucket-padded (num_fr_real)."""
 
     num_persons: int
     num_fr: int
+    num_fr_real: int
     person_ids: list
     visible: np.ndarray          # (P, T)
     visible_orig: np.ndarray     # (P, T)
@@ -219,6 +225,7 @@ def batch_persons(persons: dict[Any, PersonData], num_fr: int) -> BatchedPersons
     return BatchedPersons(
         num_persons=len(ids),
         num_fr=num_fr,
+        num_fr_real=num_fr,
         person_ids=ids,
         visible=stack("visible"),
         visible_orig=stack("visible_orig"),
@@ -236,10 +243,19 @@ def batch_persons(persons: dict[Any, PersonData], num_fr: int) -> BatchedPersons
     )
 
 
-def init_batched(in_dict: dict, **kwargs) -> BatchedPersons:
-    """in_dict['est']: {person_id: hybrik pose dict} -> BatchedPersons."""
+def init_batched(in_dict: dict, pad_to: int = 0, **kwargs) -> BatchedPersons:
+    """in_dict['est']: {person_id: hybrik pose dict} -> BatchedPersons.
+
+    pad_to: bucket the frame axis up to this length (extra frames are
+    invisible/non-existent) so dataset sweeps reuse a few compiled shapes
+    instead of one per sequence length. num_fr_real records the true
+    length for loss normalization.
+    """
     est = in_dict["est"]
     any_person = next(iter(est.values()))
-    num_fr = len(any_person["bboxes_dict"]["exist"])
+    num_fr_real = len(any_person["bboxes_dict"]["exist"])
+    num_fr = max(num_fr_real, pad_to)
     persons = {idx: init_person(pd, num_fr, **kwargs) for idx, pd in est.items()}
-    return batch_persons(persons, num_fr)
+    bp = batch_persons(persons, num_fr)
+    bp.num_fr_real = num_fr_real
+    return bp

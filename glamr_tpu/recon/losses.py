@@ -81,27 +81,33 @@ def keypoint_2d_dist(data, specs):
 # reference does the same: loss_func.py:60-114)
 # ---------------------------------------------------------------------------
 
-def _vel_sq_mean(x):
+def _n_cam_m1(data, T):
+    # real frame count (minus 1) — differs from the array length when the
+    # sequence is bucket-padded (run_dataset --pad_to)
+    return data.get("n_cam_m1", T - 1)
+
+
+def _vel_sq_mean(data, x):
     vel = (x[1:] - x[:-1]) * FPS
-    return (vel**2).sum(-1).mean()
+    return (vel**2).sum(-1).sum() / _n_cam_m1(data, x.shape[0])
 
 
 def cam_rot_smoothness_loss(data, specs):
-    return _vel_sq_mean(data["cam_rot_6d"])
+    return _vel_sq_mean(data, data["cam_rot_6d"])
 
 
 def cam_trans_smoothness_loss(data, specs):
-    return _vel_sq_mean(data["cam_trans"])
+    return _vel_sq_mean(data, data["cam_trans"])
 
 
 def cam_inv_rot_smoothness_loss(data, specs):
     r = data["cam_pose_inv"][:, :3, :2]
     vel = (r[1:] - r[:-1]) * FPS
-    return (vel**2).sum((-1, -2)).mean()
+    return (vel**2).sum((-1, -2)).sum() / _n_cam_m1(data, r.shape[0])
 
 
 def cam_origin_smoothness_loss(data, specs):
-    return _vel_sq_mean(data["cam_pose_inv"][:, :3, 3])
+    return _vel_sq_mean(data, data["cam_pose_inv"][:, :3, 3])
 
 
 def cam_depth_smoothness_loss(data, specs):
@@ -109,7 +115,7 @@ def cam_depth_smoothness_loss(data, specs):
     orig = cpi[:, :3, 3]
     cam_z = cpi[1:, :3, 2]
     delta_z = ((orig[:-1] - orig[1:]) * cam_z).sum(-1) * FPS
-    return (delta_z**2).mean()
+    return (delta_z**2).sum() / _n_cam_m1(data, cpi.shape[0])
 
 
 def cam_up_reg(data, specs):
@@ -120,7 +126,10 @@ def cam_up_reg(data, specs):
     if ffo:
         return up_dot[0] * ffw
     w = jnp.ones_like(up_dot).at[:10].set(ffw)
-    return (up_dot * w).mean()
+    if "real_frame_mask" in data:
+        w = w * data["real_frame_mask"]
+    n = data.get("n_cam", up_dot.shape[0])
+    return (up_dot * w).sum() / n
 
 
 # ---------------------------------------------------------------------------
@@ -139,14 +148,14 @@ def traj_rot_smoothness_loss(data, specs):
         diff = quat_angle_diff(q[:, 1:], q[:, :-1])
         total = ((diff * FPS) ** 2).sum()
     P, T = data["smpl_orient_world"].shape[:2]
-    return total / (P * (T - 1))
+    return total / data.get("n_traj_smooth", P * (T - 1))
 
 
 def traj_trans_smoothness_loss(data, specs):
     t = data["root_trans_world"]
     diff = (t[:, 1:] - t[:, :-1]) * FPS
     P, T = t.shape[:2]
-    return (diff**2).sum() / (P * (T - 1))
+    return (diff**2).sum() / data.get("n_traj_smooth", P * (T - 1))
 
 
 def cam_traj_rot_loss(data, specs):
@@ -277,7 +286,7 @@ def rel_transform_loss(data, specs):
     dr = ((rel_cam[..., :3, :2] - rel_world[..., :3, :2]) ** 2).sum((-1, -2))
     dt = ((rel_cam[..., :3, 3] - rel_world[..., :3, 3]) ** 2).sum(-1)
     T = tf.shape[1]
-    num_pose = P * (P - 1) * T
+    num_pose = data.get("n_rel", P * (P - 1) * T)
     return ((dr * wr).sum() + (dt * wt).sum() * trans_weight) / num_pose
 
 

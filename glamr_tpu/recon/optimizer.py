@@ -197,7 +197,7 @@ class GlobalReconOptimizer:
             trans_w[p, :s], trans_w[p, e:] = trans_w[p, s], trans_w[p, e - 1]
         return traj_local_pred, orient_w, trans_w
 
-    def init_data(self, in_dict: dict, seed: int = 0) -> dict:
+    def init_data(self, in_dict: dict, seed: int = 0, pad_to: int = 0) -> dict:
         """Host-side data init -> {'const', 'params', 'bp', meta...}.
 
         Runs on the CPU backend: this is once-per-sequence prep made of
@@ -207,14 +207,17 @@ class GlobalReconOptimizer:
 
         seed drives the CVAE prior samples (the reference's per-seed
         stochastic inference, run_demo.py:61-63 + inference z-draws).
+        pad_to buckets the frame axis so dataset sweeps reuse compiled
+        shapes; loss normalization uses the true length.
         """
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            return self._init_data(in_dict, seed)
+            return self._init_data(in_dict, seed, pad_to)
 
-    def _init_data(self, in_dict: dict, seed: int = 0) -> dict:
+    def _init_data(self, in_dict: dict, seed: int = 0, pad_to: int = 0) -> dict:
         bp = init_batched(
             in_dict,
+            pad_to=pad_to,
             flag_filter_pose=self.flag_filter_pose,
             make_invis_with_keypoint=self.flag_make_invis_with_keypoint,
             keypoint_min_score=self.make_invis_keypoint_min_score,
@@ -364,13 +367,19 @@ class GlobalReconOptimizer:
             "vis_rank": vis_rank,
             "n_vis": vis_f.sum(1),
             "n_exist": n_exist, "n_exist_m1": np.maximum(n_exist - 1, 0),
-            "n_frames_p": np.full((P,), T, np.float32),
+            "n_frames_p": np.full((P,), bp.num_fr_real, np.float32),
             "fr_num_persons": bp.fr_num_persons.astype(np.float32),
             "first_any_vis_idx": np.int32(first_any),
             "n_cam_trans_res": np.float32(
-                T if self.flags.cam_inv_trans_res_all
-                else max(int((bp.fr_num_persons == 0).sum()), 1)
+                bp.num_fr_real if self.flags.cam_inv_trans_res_all
+                else max(int((bp.fr_num_persons[:bp.num_fr_real] == 0).sum()), 1)
             ),
+            # true-length normalizers (shape-independent under bucketing)
+            "n_cam": np.float32(bp.num_fr_real),
+            "n_cam_m1": np.float32(bp.num_fr_real - 1),
+            "n_traj_smooth": np.float32(P * (bp.num_fr_real - 1)),
+            "n_rel": np.float32(max(P * (P - 1) * bp.num_fr_real, 1)),
+            "real_frame_mask": (np.arange(T) < bp.num_fr_real).astype(np.float32),
             "in_pose_rolled": in_pose_rolled.astype(np.float32),
             "mask_rolled": mask_rolled,
             "unroll_idx": unroll_idx,
@@ -541,8 +550,8 @@ class GlobalReconOptimizer:
         return run
 
     def optimize(self, in_dict: dict, continue_opt: bool = False,
-                 seed: int = 0) -> dict:
-        data = in_dict if continue_opt else self.init_data(in_dict, seed)
+                 seed: int = 0, pad_to: int = 0) -> dict:
+        data = in_dict if continue_opt else self.init_data(in_dict, seed, pad_to)
         # one bulk host->accelerator transfer (init_data builds on CPU)
         dev = jax.devices()[0]
         const = jax.device_put(data["const"], dev)

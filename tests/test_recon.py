@@ -391,3 +391,31 @@ class TestContinueOpt:
         assert np.isfinite(out2["cam_pose"]).all()
         for pd in out2["person_data"].values():
             assert np.isfinite(pd["root_trans_world"]).all()
+
+
+class TestBucketPadding:
+    def test_padded_matches_unpadded(self, in_dict, smpl_syn):
+        """pad_to bucketing must not change the optimization: losses are
+        normalized by true lengths and padded frames contribute nothing."""
+        cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        d0 = opt.init_data(in_dict)
+        d1 = opt.init_data(in_dict, pad_to=40)  # T=25 -> padded to 40
+        assert d1["const"]["kp_2d"].shape[1] == 40
+
+        from glamr_tpu.recon import compute_losses
+        loss_cfg = STAGE["init_opt"]["loss_cfg"]
+        for cam_mode in ["hold"]:
+            f0 = recon_forward(d0["params"], d0["const"], smpl_syn,
+                               opt.flags, cam_mode)
+            f1 = recon_forward(d1["params"], d1["const"], smpl_syn,
+                               opt.flags, cam_mode)
+            t0, uw0 = compute_losses({**d0["const"], **d0["params"], **f0}, loss_cfg)
+            t1, uw1 = compute_losses({**d1["const"], **d1["params"], **f1}, loss_cfg)
+            for k in uw0:
+                a, b = float(uw0[k]), float(uw1[k])
+                assert abs(a - b) <= 1e-3 * max(abs(a), 1.0), (k, a, b)
+
+        out = opt.optimize(in_dict, pad_to=40)
+        for pd in out["person_data"].values():
+            assert np.isfinite(pd["root_trans_world"]).all()
