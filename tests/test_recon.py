@@ -419,3 +419,22 @@ class TestBucketPadding:
         out = opt.optimize(in_dict, pad_to=40)
         for pd in out["person_data"].values():
             assert np.isfinite(pd["root_trans_world"]).all()
+
+
+def test_shipped_config_losses_resolve():
+    """Every loss named in the six shipped configs exists in the registry
+    and every opt_variable maps to a parameter."""
+    from glamr_tpu.recon.losses import loss_func_dict
+    from glamr_tpu.utils import Config
+
+    known_vars = {"cam", "world_res", "world_dheading", "world_dxy",
+                  "local_xy", "local_dxy", "local_heading", "local_dheading",
+                  "local_rot", "local_z", "person2cam_rot", "person2cam_trans"}
+    for cid in ["glamr_static", "glamr_dynamic", "glamr_static_multi",
+                "glamr_dynamic_multi", "glamr_3dpw", "glamr_h36m"]:
+        cfg = Config(cid)
+        for stage, ss in cfg.opt_stage_specs.items():
+            for name in ss["loss_cfg"]:
+                assert name in loss_func_dict, (cid, stage, name)
+            for v in ss["opt_variables"]:
+                assert v in known_vars, (cid, stage, v)
