@@ -51,6 +51,9 @@ def main(argv=None):
     parser.add_argument("--sequences", default=None,
                         help="comma-separated subset; default = full test set")
     parser.add_argument("--cached", type=int, default=1)
+    parser.add_argument("--vmap_seeds", type=int, default=1,
+                        help="run all seeds of a sequence as ONE vmapped "
+                             "program (S seeds ~ cost of 1); 0 = serial")
     parser.add_argument("--pad_to", type=int, default=0,
                         help="bucket sequence lengths up to multiples of "
                              "this (reuses compiled stage programs across "
@@ -101,13 +104,20 @@ def main(argv=None):
         est = load_pose_pkl(pose_pkl)
         in_dict = {"est": est, "gt": gt_data["person_data"],
                    "gt_meta": gt_data.get("meta", {}), "seq_name": seq}
-        for seed in seeds:
+        T_seq = len(next(iter(est.values()))["bboxes_dict"]["exist"])
+        pad = (-(-T_seq // args.pad_to) * args.pad_to) if args.pad_to else 0
+        todo = [s for s in seeds if not (
+            args.cached and os.path.isfile(
+                os.path.join(out_dir, f"{seq}_seed{s}.pkl")))]
+        if not todo:
+            continue
+        if args.vmap_seeds and len(todo) > 1:
+            outs = grecon.optimize_multi_seed(in_dict, todo, pad_to=pad)
+        else:
+            outs = {s: grecon.optimize(in_dict, seed=s, pad_to=pad)
+                    for s in todo}
+        for seed, out_dict in outs.items():
             out_file = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")
-            if args.cached and os.path.isfile(out_file):
-                continue
-            T_seq = len(next(iter(est.values()))["bboxes_dict"]["exist"])
-            pad = (-(-T_seq // args.pad_to) * args.pad_to) if args.pad_to else 0
-            out_dict = grecon.optimize(in_dict, seed=seed, pad_to=pad)
             with open(out_file, "wb") as f:
                 pickle.dump(out_dict, f)
             log.info(f"{seq} seed {seed}: wrote {out_file}")

@@ -507,10 +507,16 @@ class GlobalReconOptimizer:
         return trainable
 
     def _stage_fn(self, stage_key, cam_mode, trainable, opt_lr, opt_niters,
-                  loss_cfg, use_latents=False):
-        """Build (and cache) the compiled stage program."""
+                  loss_cfg, use_latents=False, vmapped=False):
+        """Build (and cache) the compiled stage program.
+
+        vmapped=True maps the whole stage over a leading seed axis on
+        params AND const — the multi-seed benchmark protocol
+        (run_dataset seeds, reference run_dataset.py:68) as one program.
+        """
         cache_key = (stage_key, cam_mode, tuple(sorted(trainable)), opt_lr,
-                     opt_niters, repr(sorted(loss_cfg.items())), use_latents)
+                     opt_niters, repr(sorted(loss_cfg.items())), use_latents,
+                     vmapped)
         if cache_key in self._stage_cache:
             return self._stage_cache[cache_key]
 
@@ -538,14 +544,14 @@ class GlobalReconOptimizer:
             params = optax.apply_updates(params, updates)
             return (params, opt_state, const), (loss, loss_uw)
 
-        @jax.jit
-        def run(params, const):
+        def run_core(params, const):
             opt_state = tx.init(params)
             (params, _, _), hist = jax.lax.scan(
                 step, (params, opt_state, const), None, length=opt_niters
             )
             return params, hist
 
+        run = jax.jit(jax.vmap(run_core) if vmapped else run_core)
         self._stage_cache[cache_key] = run
         return run
 
@@ -618,16 +624,89 @@ class GlobalReconOptimizer:
         data["const"], data["params"] = const, params
         return self._build_output(data, derived, params, const)
 
-    def _jit_forward(self, cam_mode: str, use_latents: bool = False):
-        key = (cam_mode, use_latents)
+    def _jit_forward(self, cam_mode: str, use_latents: bool = False,
+                     vmapped: bool = False):
+        key = (cam_mode, use_latents, vmapped)
         if key not in self._fwd_cache:
             smpl, flags, jm = self.smpl, self.flags, self.joint_model
-            self._fwd_cache[key] = jax.jit(
-                lambda p, c: recon_forward(p, c, smpl, flags, cam_mode,
-                                           joint_model=jm,
-                                           use_latents=use_latents)
-            )
+            fwd = lambda p, c: recon_forward(p, c, smpl, flags, cam_mode,
+                                             joint_model=jm,
+                                             use_latents=use_latents)
+            self._fwd_cache[key] = jax.jit(jax.vmap(fwd) if vmapped else fwd)
         return self._fwd_cache[key]
+
+    def optimize_multi_seed(self, in_dict: dict, seeds, pad_to: int = 0) -> dict:
+        """Run the full stage schedule for several seeds AT ONCE — the
+        multi-seed benchmark protocol (reference run_dataset.py:68 loops
+        seeds serially; here the seed axis is vmapped so S seeds cost one
+        program execution). Returns {seed: out_dict}.
+        """
+        datas = [self.init_data(in_dict, seed=s, pad_to=pad_to) for s in seeds]
+        dev = jax.devices()[0]
+        stackt = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        const = jax.device_put(stackt([d["const"] for d in datas]), dev)
+        params = jax.device_put(stackt([d["params"] for d in datas]), dev)
+        self._param_keys = list(datas[0]["params"].keys())
+
+        for stage, ss in self.opt_stage_specs.items():
+            opt_variables = ss["opt_variables"]
+            trainable = self._param_mask(opt_variables)
+            cam_mode = (
+                "param" if "cam" in opt_variables
+                else "person" if self.flag_opt_cam_from_person_pose
+                else "hold"
+            )
+            if cam_mode == "param":
+                cam = const["cam_pose_init"]                 # (S, T, 4, 4)
+                rot6 = rotmat_to_rot6d(cam[..., :3, :3])
+                if self.flags.fixed_cam:
+                    params["cam_rot_6d_fix"] = rot6[:, :1]
+                    params["cam_trans_fix"] = cam[:, :1, :3, 3]
+                else:
+                    params["cam_rot_6d"] = rot6
+                    params["cam_trans"] = cam[..., :3, 3]
+
+            use_latents = self.flags.opt_motion_latent or self.flags.opt_traj_latent
+            start_iter = int(ss.get("opt_latent_start_iter", 0))
+            niters = int(ss["opt_niters"])
+            phases = [(niters, use_latents)]
+            if use_latents and 0 < start_iter < niters:
+                phases = [(start_iter, False), (niters - start_iter, True)]
+            elif use_latents and start_iter >= niters:
+                phases = [(niters, False)]
+
+            t0 = time.time()
+            hists = []
+            for n_it, live in phases:
+                run = self._stage_fn(
+                    stage, cam_mode, trainable, float(ss["opt_lr"]),
+                    n_it, ss["loss_cfg"], use_latents=live, vmapped=True,
+                )
+                params, (h, _) = run(params, const)
+                hists.append(np.asarray(h))                  # (S, n_it)
+            loss_hist = np.concatenate(hists, axis=1)
+            self.log.info(
+                f"{self.cfg.id} - {in_dict.get('seq_name', 'seq')} - {stage} | "
+                f"{len(seeds)} seeds x {niters} iters in "
+                f"{convert_sec_to_time(time.time() - t0)} | mean loss "
+                f"{loss_hist[:, 0].mean():.3f} -> {loss_hist[:, -1].mean():.3f}")
+
+            derived = self._jit_forward(cam_mode, use_latents, vmapped=True)(
+                params, const)
+            cam_pose = derived["cam_pose"]
+            if ss.get("reinitialize_cam", False):
+                cam_pose = jnp.broadcast_to(cam_pose[:, :1], cam_pose.shape)
+            const = dict(const)
+            const["cam_pose_init"] = cam_pose
+
+        outs = {}
+        for i, s in enumerate(seeds):
+            derived_i = jax.tree.map(lambda x: x[i], derived)
+            params_i = jax.tree.map(lambda x: x[i], params)
+            const_i = jax.tree.map(lambda x: x[i], const)
+            datas[i]["const"], datas[i]["params"] = const_i, params_i
+            outs[s] = self._build_output(datas[i], derived_i, params_i, const_i)
+        return outs
 
     def _log_stage(self, seq_name, stage, ss, loss_hist, loss_uw, elapsed):
         n = len(loss_hist)

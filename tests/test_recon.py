@@ -438,3 +438,29 @@ def test_shipped_config_losses_resolve():
                 assert name in loss_func_dict, (cid, stage, name)
             for v in ss["opt_variables"]:
                 assert v in known_vars, (cid, stage, v)
+
+
+class TestMultiSeed:
+    def test_vmapped_seeds_match_serial(self, in_dict, smpl_syn):
+        """optimize_multi_seed == serial optimize per seed (same seeds)."""
+        stage = {"init_opt": {
+            "opt_lr": 1.0e-2, "opt_niters": 6,
+            "opt_variables": ["cam", "local_xy", "local_heading"],
+            "loss_cfg": {
+                "kp_2d": {"weight": 1.0, "min_conf": 0.3},
+                "traj_rot_smoothness": {"weight": 1.0e3},
+            },
+        }}
+        cfg = FakeCfg(stage, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        outs = opt.optimize_multi_seed(in_dict, seeds=[1, 2])
+        assert set(outs) == {1, 2}
+        serial = opt.optimize(in_dict, seed=1)
+        for pid in serial["person_data"]:
+            a = outs[1]["person_data"][pid]["root_trans_world"]
+            b = serial["person_data"][pid]["root_trans_world"]
+            np.testing.assert_allclose(a, b, atol=5e-4)
+        # without a CVAE, the seeds share deterministic init -> same result;
+        # the test still proves the vmapped path is consistent end-to-end
+        for pid in outs[1]["person_data"]:
+            assert np.isfinite(outs[2]["person_data"][pid]["root_trans_world"]).all()
