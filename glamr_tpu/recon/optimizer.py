@@ -555,15 +555,10 @@ class GlobalReconOptimizer:
         self._stage_cache[cache_key] = run
         return run
 
-    def optimize(self, in_dict: dict, continue_opt: bool = False,
-                 seed: int = 0, pad_to: int = 0) -> dict:
-        data = in_dict if continue_opt else self.init_data(in_dict, seed, pad_to)
-        # one bulk host->accelerator transfer (init_data builds on CPU)
-        dev = jax.devices()[0]
-        const = jax.device_put(data["const"], dev)
-        params = jax.device_put(data["params"], dev)
-        self._param_keys = list(params.keys())
-
+    def _run_schedule(self, params, const, seq_name, vmapped: bool):
+        """Run the configured stage schedule (shared by the serial and
+        vmapped entry points). Returns (params, const, derived)."""
+        derived = None
         for stage, ss in self.opt_stage_specs.items():
             opt_variables = ss["opt_variables"]
             trainable = self._param_mask(opt_variables)
@@ -576,13 +571,14 @@ class GlobalReconOptimizer:
                 # seed camera params from the current camera (reference
                 # get_parameter :596-606)
                 cam = const["cam_pose_init"]
-                rot6 = rotmat_to_rot6d(cam[:, :3, :3])
+                rot6 = rotmat_to_rot6d(cam[..., :3, :3])
                 if self.flags.fixed_cam:
-                    params["cam_rot_6d_fix"] = rot6[:1]
-                    params["cam_trans_fix"] = cam[:1, :3, 3]
+                    params["cam_rot_6d_fix"] = rot6[:, :1] if vmapped else rot6[:1]
+                    params["cam_trans_fix"] = (cam[:, :1, :3, 3] if vmapped
+                                               else cam[:1, :3, 3])
                 else:
                     params["cam_rot_6d"] = rot6
-                    params["cam_trans"] = cam[:, :3, 3]
+                    params["cam_trans"] = cam[..., :3, 3]
 
             use_latents = self.flags.opt_motion_latent or self.flags.opt_traj_latent
             start_iter = int(ss.get("opt_latent_start_iter", 0))
@@ -601,26 +597,47 @@ class GlobalReconOptimizer:
             for n_it, live in phases:
                 run = self._stage_fn(
                     stage, cam_mode, trainable, float(ss["opt_lr"]),
-                    n_it, ss["loss_cfg"], use_latents=live,
+                    n_it, ss["loss_cfg"], use_latents=live, vmapped=vmapped,
                 )
                 params, (h, uw) = run(params, const)
                 hists.append(np.asarray(h))
                 uw_hists.append({k: np.asarray(v) for k, v in uw.items()})
-            loss_hist = np.concatenate(hists)
-            loss_uw_hist = {k: np.concatenate([u[k] for u in uw_hists])
-                            for k in uw_hists[0]}
+            # history axes: serial (niters,), vmapped (batch, niters)
+            loss_hist = np.concatenate(hists, axis=-1)
             elapsed = time.time() - t0
-            self._log_stage(data["seq_name"], stage, ss, loss_hist,
-                            loss_uw_hist, elapsed)
+            if vmapped:
+                self.log.info(
+                    f"{self.cfg.id} - {seq_name} - {stage} | "
+                    f"{loss_hist.shape[0]} runs x {niters} iters in "
+                    f"{convert_sec_to_time(elapsed)} | mean loss "
+                    f"{loss_hist[:, 0].mean():.3f} -> {loss_hist[:, -1].mean():.3f}")
+            else:
+                loss_uw_hist = {k: np.concatenate([u[k] for u in uw_hists])
+                                for k in uw_hists[0]}
+                self._log_stage(seq_name, stage, ss, loss_hist,
+                                loss_uw_hist, elapsed)
 
             # thread the stage's final camera into subsequent stages
-            derived = self._jit_forward(cam_mode, use_latents)(params, const)
+            derived = self._jit_forward(cam_mode, use_latents, vmapped)(
+                params, const)
             cam_pose = derived["cam_pose"]
             if ss.get("reinitialize_cam", False):
-                cam_pose = jnp.broadcast_to(cam_pose[:1], cam_pose.shape)
+                first = cam_pose[:, :1] if vmapped else cam_pose[:1]
+                cam_pose = jnp.broadcast_to(first, cam_pose.shape)
             const = dict(const)
             const["cam_pose_init"] = cam_pose
+        return params, const, derived
 
+    def optimize(self, in_dict: dict, continue_opt: bool = False,
+                 seed: int = 0, pad_to: int = 0) -> dict:
+        data = in_dict if continue_opt else self.init_data(in_dict, seed, pad_to)
+        # one bulk host->accelerator transfer (init_data builds on CPU)
+        dev = jax.devices()[0]
+        const = jax.device_put(data["const"], dev)
+        params = jax.device_put(data["params"], dev)
+        self._param_keys = list(params.keys())
+        params, const, derived = self._run_schedule(
+            params, const, data["seq_name"], vmapped=False)
         data["const"], data["params"] = const, params
         return self._build_output(data, derived, params, const)
 
@@ -635,6 +652,25 @@ class GlobalReconOptimizer:
             self._fwd_cache[key] = jax.jit(jax.vmap(fwd) if vmapped else fwd)
         return self._fwd_cache[key]
 
+    def _optimize_stacked(self, datas, seq_name):
+        """Stack prepared data dicts on a leading axis and run the whole
+        schedule vmapped. All entries must share (P, T) shapes."""
+        dev = jax.devices()[0]
+        stackt = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        const = jax.device_put(stackt([d["const"] for d in datas]), dev)
+        params = jax.device_put(stackt([d["params"] for d in datas]), dev)
+        self._param_keys = list(datas[0]["params"].keys())
+        params, const, derived = self._run_schedule(
+            params, const, seq_name, vmapped=True)
+        outs = []
+        for i, d in enumerate(datas):
+            derived_i = jax.tree.map(lambda x: x[i], derived)
+            params_i = jax.tree.map(lambda x: x[i], params)
+            const_i = jax.tree.map(lambda x: x[i], const)
+            d["const"], d["params"] = const_i, params_i
+            outs.append(self._build_output(d, derived_i, params_i, const_i))
+        return outs
+
     def optimize_multi_seed(self, in_dict: dict, seeds, pad_to: int = 0) -> dict:
         """Run the full stage schedule for several seeds AT ONCE — the
         multi-seed benchmark protocol (reference run_dataset.py:68 loops
@@ -642,71 +678,26 @@ class GlobalReconOptimizer:
         program execution). Returns {seed: out_dict}.
         """
         datas = [self.init_data(in_dict, seed=s, pad_to=pad_to) for s in seeds]
-        dev = jax.devices()[0]
-        stackt = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
-        const = jax.device_put(stackt([d["const"] for d in datas]), dev)
-        params = jax.device_put(stackt([d["params"] for d in datas]), dev)
-        self._param_keys = list(datas[0]["params"].keys())
+        outs = self._optimize_stacked(datas, in_dict.get("seq_name", "seq"))
+        return dict(zip(seeds, outs))
 
-        for stage, ss in self.opt_stage_specs.items():
-            opt_variables = ss["opt_variables"]
-            trainable = self._param_mask(opt_variables)
-            cam_mode = (
-                "param" if "cam" in opt_variables
-                else "person" if self.flag_opt_cam_from_person_pose
-                else "hold"
-            )
-            if cam_mode == "param":
-                cam = const["cam_pose_init"]                 # (S, T, 4, 4)
-                rot6 = rotmat_to_rot6d(cam[..., :3, :3])
-                if self.flags.fixed_cam:
-                    params["cam_rot_6d_fix"] = rot6[:, :1]
-                    params["cam_trans_fix"] = cam[:, :1, :3, 3]
-                else:
-                    params["cam_rot_6d"] = rot6
-                    params["cam_trans"] = cam[..., :3, 3]
-
-            use_latents = self.flags.opt_motion_latent or self.flags.opt_traj_latent
-            start_iter = int(ss.get("opt_latent_start_iter", 0))
-            niters = int(ss["opt_niters"])
-            phases = [(niters, use_latents)]
-            if use_latents and 0 < start_iter < niters:
-                phases = [(start_iter, False), (niters - start_iter, True)]
-            elif use_latents and start_iter >= niters:
-                phases = [(niters, False)]
-
-            t0 = time.time()
-            hists = []
-            for n_it, live in phases:
-                run = self._stage_fn(
-                    stage, cam_mode, trainable, float(ss["opt_lr"]),
-                    n_it, ss["loss_cfg"], use_latents=live, vmapped=True,
-                )
-                params, (h, _) = run(params, const)
-                hists.append(np.asarray(h))                  # (S, n_it)
-            loss_hist = np.concatenate(hists, axis=1)
-            self.log.info(
-                f"{self.cfg.id} - {in_dict.get('seq_name', 'seq')} - {stage} | "
-                f"{len(seeds)} seeds x {niters} iters in "
-                f"{convert_sec_to_time(time.time() - t0)} | mean loss "
-                f"{loss_hist[:, 0].mean():.3f} -> {loss_hist[:, -1].mean():.3f}")
-
-            derived = self._jit_forward(cam_mode, use_latents, vmapped=True)(
-                params, const)
-            cam_pose = derived["cam_pose"]
-            if ss.get("reinitialize_cam", False):
-                cam_pose = jnp.broadcast_to(cam_pose[:, :1], cam_pose.shape)
-            const = dict(const)
-            const["cam_pose_init"] = cam_pose
-
-        outs = {}
-        for i, s in enumerate(seeds):
-            derived_i = jax.tree.map(lambda x: x[i], derived)
-            params_i = jax.tree.map(lambda x: x[i], params)
-            const_i = jax.tree.map(lambda x: x[i], const)
-            datas[i]["const"], datas[i]["params"] = const_i, params_i
-            outs[s] = self._build_output(datas[i], derived_i, params_i, const_i)
-        return outs
+    def optimize_many(self, jobs, pad_to: int = 0):
+        """Batch MULTIPLE (in_dict, seed) jobs — e.g. different sequences
+        of a dataset bucket — through one vmapped program. All jobs must
+        have the same person count; frame lengths are bucketed to the
+        longest (rounded up to pad_to when given). Returns a list of
+        out_dicts in job order.
+        """
+        t_max = max(len(next(iter(j[0]["est"].values()))["bboxes_dict"]["exist"])
+                    for j in jobs)
+        if pad_to:
+            t_max = -(-t_max // pad_to) * pad_to
+        datas = [self.init_data(ind, seed=s, pad_to=t_max) for ind, s in jobs]
+        P = {d["bp"].num_persons for d in datas}
+        if len(P) != 1:
+            raise ValueError(f"optimize_many requires equal person counts, got {P}")
+        name = "+".join(j[0].get("seq_name", "seq") for j in jobs[:3])
+        return self._optimize_stacked(datas, name)
 
     def _log_stage(self, seq_name, stage, ss, loss_hist, loss_uw, elapsed):
         n = len(loss_hist)

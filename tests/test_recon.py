@@ -464,3 +464,27 @@ class TestMultiSeed:
         # the test still proves the vmapped path is consistent end-to-end
         for pid in outs[1]["person_data"]:
             assert np.isfinite(outs[2]["person_data"][pid]["root_trans_world"]).all()
+
+
+class TestOptimizeMany:
+    def test_two_sequences_batched(self, smpl_syn):
+        """Different sequences (same P, different T) batch through one
+        vmapped program and match serial results."""
+        ind_a = make_synthetic_in_dict(np.random.default_rng(0), T=25)
+        ind_b = make_synthetic_in_dict(np.random.default_rng(5), T=19)
+        ind_b["seq_name"] = "synthetic_b"
+        stage = {"init_opt": {
+            "opt_lr": 1.0e-2, "opt_niters": 6,
+            "opt_variables": ["cam", "local_xy", "local_heading"],
+            "loss_cfg": {"kp_2d": {"weight": 1.0, "min_conf": 0.3}},
+        }}
+        cfg = FakeCfg(stage, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        outs = opt.optimize_many([(ind_a, 1), (ind_b, 1)])
+        assert len(outs) == 2
+        # serial reference for sequence b at the same bucketed length
+        serial_b = opt.optimize(ind_b, seed=1, pad_to=25)
+        for pid in serial_b["person_data"]:
+            np.testing.assert_allclose(
+                outs[1]["person_data"][pid]["root_trans_world"],
+                serial_b["person_data"][pid]["root_trans_world"], atol=5e-4)
