@@ -51,6 +51,10 @@ def main(argv=None):
     parser.add_argument("--sequences", default=None,
                         help="comma-separated subset; default = full test set")
     parser.add_argument("--cached", type=int, default=1)
+    parser.add_argument("--batch_sequences", type=int, default=0,
+                        help="batch this many sequences (same person count, "
+                             "bucketed lengths) through one vmapped program; "
+                             "0 = per-sequence")
     parser.add_argument("--vmap_seeds", type=int, default=1,
                         help="run all seeds of a sequence as ONE vmapped "
                              "program (S seeds ~ cost of 1); 0 = serial")
@@ -85,6 +89,31 @@ def main(argv=None):
             log.info(f"joint model unavailable ({e}); using est-derived traj")
     grecon = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log)
 
+    def dump(seq, seed, out_dict):
+        out_file = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")
+        with open(out_file, "wb") as f:
+            pickle.dump(out_dict, f)
+        log.info(f"{seq} seed {seed}: wrote {out_file}")
+
+    pending = []  # (in_dict, seed, P) jobs for cross-sequence batching
+
+    def flush_pending(force=False):
+        # group by person count; batch within each group
+        while pending:
+            P0 = pending[0][2]
+            group = [j for j in pending if j[2] == P0]
+            if len(group) < args.batch_sequences and not force:
+                return
+            take = group[: args.batch_sequences] if not force else group
+            for j in take:
+                pending.remove(j)
+            jobs = [(ind, s) for ind, s, _ in take]
+            outs = grecon.optimize_many(jobs, pad_to=args.pad_to or 100)
+            for (ind, s), out_dict in zip(jobs, outs):
+                dump(ind["seq_name"], s, out_dict)
+            if not force:
+                return
+
     for seq in seqs:
         gt_file = os.path.join(dirs["root"], dirs["gt"], f"{seq}.pkl")
         if not os.path.isfile(gt_file):
@@ -111,16 +140,19 @@ def main(argv=None):
                 os.path.join(out_dir, f"{seq}_seed{s}.pkl")))]
         if not todo:
             continue
-        if args.vmap_seeds and len(todo) > 1:
+        if args.batch_sequences:
+            for s in todo:
+                pending.append((in_dict, s, len(est)))
+            flush_pending()
+        elif args.vmap_seeds and len(todo) > 1:
             outs = grecon.optimize_multi_seed(in_dict, todo, pad_to=pad)
+            for seed, out_dict in outs.items():
+                dump(seq, seed, out_dict)
         else:
-            outs = {s: grecon.optimize(in_dict, seed=s, pad_to=pad)
-                    for s in todo}
-        for seed, out_dict in outs.items():
-            out_file = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")
-            with open(out_file, "wb") as f:
-                pickle.dump(out_dict, f)
-            log.info(f"{seq} seed {seed}: wrote {out_file}")
+            for s in todo:
+                dump(seq, s, grecon.optimize(in_dict, seed=s, pad_to=pad))
+    if args.batch_sequences:
+        flush_pending(force=True)
 
 
 if __name__ == "__main__":

@@ -125,3 +125,37 @@ def test_run_and_eval_dataset(tmp_path, monkeypatch):
         "--out_dir", str(out_dir), "--sequences", seq, "--seeds", "1",
     ])
     assert acc["metrics"]["PA-MPJPE"].count > 0
+
+
+@pytest.mark.slow
+def test_run_dataset_batched_sequences(tmp_path, monkeypatch):
+    """--batch_sequences: two sequences through one vmapped program."""
+    from glamr_tpu.cli import run_dataset
+
+    root = tmp_path / "datasets" / "3DPW"
+    est_a, seq_a = make_mini_3dpw(str(root), "batch_seq_a", T=18)
+    est_b, seq_b = make_mini_3dpw(str(root), "batch_seq_b", T=14)
+    out_dir = tmp_path / "out"
+    for est, seq in [(est_a, seq_a), (est_b, seq_b)]:
+        pe = out_dir / "pose_est" / seq
+        os.makedirs(pe, exist_ok=True)
+        with open(pe / "pose.pkl", "wb") as f:
+            pickle.dump(est, f)
+
+    monkeypatch.chdir(tmp_path)
+    from glamr_tpu.utils import Config
+    import yaml
+    cfg = Config("glamr_3dpw")
+    for ss in cfg.opt_stage_specs.values():
+        ss["opt_niters"] = 4
+    cfg_file = tmp_path / "tiny.yml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.yml_dict, f)
+
+    run_dataset.main([
+        "--dataset", "3dpw", "--cfg", str(cfg_file), "--out_dir", str(out_dir),
+        "--sequences", f"{seq_a},{seq_b}", "--seeds", "1",
+        "--batch_sequences", "2", "--pad_to", "20",
+    ])
+    assert (out_dir / f"{seq_a}_seed1.pkl").exists()
+    assert (out_dir / f"{seq_b}_seed1.pkl").exists()
