@@ -652,13 +652,26 @@ class GlobalReconOptimizer:
             self._fwd_cache[key] = jax.jit(jax.vmap(fwd) if vmapped else fwd)
         return self._fwd_cache[key]
 
-    def _optimize_stacked(self, datas, seq_name):
+    def _optimize_stacked(self, datas, seq_name, mesh=None):
         """Stack prepared data dicts on a leading axis and run the whole
-        schedule vmapped. All entries must share (P, T) shapes."""
-        dev = jax.devices()[0]
+        schedule vmapped. All entries must share (P, T) shapes.
+
+        mesh: optional jax.sharding.Mesh — the stacked job axis is sharded
+        over its first axis (embarrassingly parallel SPMD across chips;
+        the per-job programs need no collectives). The job count must be
+        divisible by the mesh size.
+        """
         stackt = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
-        const = jax.device_put(stackt([d["const"] for d in datas]), dev)
-        params = jax.device_put(stackt([d["params"] for d in datas]), dev)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            place = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            put = lambda t: jax.tree.map(lambda x: jax.device_put(x, place), t)
+        else:
+            dev = jax.devices()[0]
+            put = lambda t: jax.device_put(t, dev)
+        const = put(stackt([d["const"] for d in datas]))
+        params = put(stackt([d["params"] for d in datas]))
         self._param_keys = list(datas[0]["params"].keys())
         params, const, derived = self._run_schedule(
             params, const, seq_name, vmapped=True)
@@ -681,12 +694,15 @@ class GlobalReconOptimizer:
         outs = self._optimize_stacked(datas, in_dict.get("seq_name", "seq"))
         return dict(zip(seeds, outs))
 
-    def optimize_many(self, jobs, pad_to: int = 0):
+    def optimize_many(self, jobs, pad_to: int = 0, mesh=None):
         """Batch MULTIPLE (in_dict, seed) jobs — e.g. different sequences
         of a dataset bucket — through one vmapped program. All jobs must
         have the same person count; frame lengths are bucketed to the
         longest (rounded up to pad_to when given). Returns a list of
         out_dicts in job order.
+
+        mesh: shard the job axis across devices (dataset sweeps scale
+        linearly with chips — no cross-job communication).
         """
         t_max = max(len(next(iter(j[0]["est"].values()))["bboxes_dict"]["exist"])
                     for j in jobs)
@@ -697,7 +713,7 @@ class GlobalReconOptimizer:
         if len(P) != 1:
             raise ValueError(f"optimize_many requires equal person counts, got {P}")
         name = "+".join(j[0].get("seq_name", "seq") for j in jobs[:3])
-        return self._optimize_stacked(datas, name)
+        return self._optimize_stacked(datas, name, mesh=mesh)
 
     def _log_stage(self, seq_name, stage, ss, loss_hist, loss_uw, elapsed):
         n = len(loss_hist)

@@ -488,3 +488,33 @@ class TestOptimizeMany:
             np.testing.assert_allclose(
                 outs[1]["person_data"][pid]["root_trans_world"],
                 serial_b["person_data"][pid]["root_trans_world"], atol=5e-4)
+
+
+class TestShardedSweep:
+    def test_jobs_shard_over_mesh(self, smpl_syn, mesh8):
+        """optimize_many with a device mesh: 8 jobs sharded over 8 virtual
+        devices, matching the unsharded result."""
+        from jax.sharding import Mesh
+        import jax
+
+        devices = np.array(jax.devices("cpu")[:8])
+        mesh = Mesh(devices, ("seq",))
+        jobs = []
+        for i in range(8):
+            ind = make_synthetic_in_dict(np.random.default_rng(i), T=20)
+            ind["seq_name"] = f"s{i}"
+            jobs.append((ind, 1))
+        stage = {"init_opt": {
+            "opt_lr": 1.0e-2, "opt_niters": 4,
+            "opt_variables": ["cam", "local_xy"],
+            "loss_cfg": {"kp_2d": {"weight": 1.0, "min_conf": 0.3}},
+        }}
+        cfg = FakeCfg(stage, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        outs_sharded = opt.optimize_many(jobs, mesh=mesh)
+        outs_plain = opt.optimize_many(jobs)
+        for a, b in zip(outs_sharded, outs_plain):
+            for pid in a["person_data"]:
+                np.testing.assert_allclose(
+                    a["person_data"][pid]["root_trans_world"],
+                    b["person_data"][pid]["root_trans_world"], atol=1e-5)
