@@ -243,3 +243,58 @@ class TestTrajCodec:
         got = T.interp_linear_extrap(vis, vals, 50)
         f = interp1d(vis.astype(np.float64), vals, axis=0, fill_value="extrapolate")
         np.testing.assert_allclose(got, f(np.arange(50)), atol=1e-4)
+
+
+class TestNumericalEdges:
+    """Rotation-conversion edge cases: theta near 0, near pi, exact
+    identity — where naive formulas produce NaNs or large errors."""
+
+    def test_identity_roundtrips(self):
+        import jax.numpy as jnp
+        from glamr_tpu.transforms import (
+            angle_axis_to_quaternion, quaternion_to_angle_axis,
+            angle_axis_to_rotation_matrix, rotation_matrix_to_angle_axis)
+
+        aa = jnp.zeros((3, 3))
+        q = angle_axis_to_quaternion(aa)
+        np.testing.assert_allclose(np.asarray(q),
+                                   np.tile([1, 0, 0, 0], (3, 1)), atol=1e-6)
+        back = quaternion_to_angle_axis(q)
+        np.testing.assert_allclose(np.asarray(back), 0.0, atol=1e-6)
+        R = angle_axis_to_rotation_matrix(aa)
+        aa2 = rotation_matrix_to_angle_axis(R)
+        assert np.isfinite(np.asarray(aa2)).all()
+
+    def test_near_pi_rotations(self, rng):
+        import jax.numpy as jnp
+        from glamr_tpu.transforms import (
+            angle_axis_to_rotation_matrix, rotation_matrix_to_angle_axis)
+        from scipy.spatial.transform import Rotation as R
+
+        axes = rng.normal(0, 1, (16, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        for theta in [np.pi - 1e-4, np.pi - 1e-6, np.pi]:
+            aa = (axes * theta).astype(np.float32)
+            Rm = np.asarray(angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+            want = R.from_rotvec(aa).as_matrix()
+            np.testing.assert_allclose(Rm, want, atol=1e-4)
+            back = np.asarray(rotation_matrix_to_angle_axis(jnp.asarray(Rm)))
+            # axis-angle is double-covered near pi: compare rotations
+            got = R.from_rotvec(back).as_matrix()
+            np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_tiny_rotations_gradient_safe(self):
+        """Gradients of the conversions at theta -> 0 must be finite (the
+        optimizer differentiates through orientation residuals near 0)."""
+        import jax
+        import jax.numpy as jnp
+        from glamr_tpu.transforms import (
+            angle_axis_to_quaternion, quaternion_to_angle_axis)
+
+        def f(aa):
+            return (quaternion_to_angle_axis(
+                angle_axis_to_quaternion(aa)) ** 2).sum()
+
+        for scale in [1e-3, 1e-5, 0.0]:
+            g = jax.grad(f)(jnp.full((3,), scale))
+            assert np.isfinite(np.asarray(g)).all(), scale
