@@ -2,6 +2,7 @@
 from .trainer import (
     make_infiller_eval_step,
     make_trajpred_eval_step,
+    make_trajpred_device_step,
     TrainState,
     make_infiller_train_step,
     make_trajpred_train_step,

@@ -318,3 +318,39 @@ class TestDeviceSampler:
             losses.append(float(loss))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+def test_trajpred_device_step():
+    """Fully on-device traj-pred training: raw device-sampler batch, FK +
+    quat conversion inside the step, loss decreases."""
+    from glamr_tpu.body import get_smpl
+    from glamr_tpu.data import DeviceSampler
+    from glamr_tpu.train import init_trajpred
+    from glamr_tpu.train.trainer import make_trajpred_device_step, make_tx
+
+    tcfg = TrajPredConfig(
+        nz=8, seq_len=10, ctx_in_mlp=(32,), ctx_rnn_hdim=32, ctx_rnn_layers=1,
+        ctx_out_mlp=(32,), enc_in_mlp=(32,), enc_rnn_hdim=32, enc_rnn_layers=1,
+        enc_out_mlp=(32,), enc_fusion_mlp=(32,), dec_out_mlp=(32,),
+        dec_prior_mlp=(32,))
+    model = TrajPredVAE(tcfg)
+    tx = make_tx(1e-3)
+    rng = jax.random.PRNGKey(0)
+    state = init_trajpred(model, tx, rng, seq_len=10)
+    smpl = get_smpl("body26fk", synthetic=True)
+    step = make_trajpred_device_step(
+        model, tx,
+        {"trans_mse": {"weight": 1.0}, "orient_angle": {"weight": 1.0},
+         "vae_z_kld": {"weight": 1e-3, "min_clip": 0.0}}, smpl)
+
+    data, _ = synthetic_amass_data(4, min_len=30, max_len=60)
+    ds = DeviceSampler(data)
+    losses = []
+    for i in range(14):
+        rng, kb, ks = jax.random.split(rng, 3)
+        batch = ds.sample_batch(kb, 8, 10, None)
+        state, m = step(state, batch, ks)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    # each step draws a fresh stochastic batch: compare trend, not endpoints
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
