@@ -102,14 +102,24 @@ class Visualizer3D:
     # ------------------------------------------------------------ rendering
 
     def _render_ground(self, img):
+        """Checkerboard ground plane (the reference renders a checkerboard
+        floor texture, lib/utils/vis.py checkerboard + vis_grecon ground)."""
         cam = self.camera
-        # draw a grid of ground lines around the origin
         n, ext = 10, 10.0
-        xs = np.linspace(-ext, ext, n + 1)
-        for x in xs:
-            for a, b in [((x, -ext, self.ground_z), (x, ext, self.ground_z)),
-                         ((-ext, x, self.ground_z), (ext, x, self.ground_z))]:
-                self._draw_segment(img, np.array(a), np.array(b), (70, 70, 78), 1)
+        step = 2 * ext / n
+        shades = [(70, 70, 78), (95, 95, 105)]
+        for i in range(n):
+            for j in range(n):
+                x0, y0 = -ext + i * step, -ext + j * step
+                quad = np.array([
+                    [x0, y0, self.ground_z], [x0 + step, y0, self.ground_z],
+                    [x0 + step, y0 + step, self.ground_z],
+                    [x0, y0 + step, self.ground_z]])
+                uv, z = cam.project(quad)
+                if (z <= 0.05).any():
+                    continue
+                cv2.fillConvexPoly(img, uv.astype(np.int32),
+                                   shades[(i + j) % 2], cv2.LINE_AA)
 
     def _draw_segment(self, img, a, b, color, thickness):
         cam = self.camera

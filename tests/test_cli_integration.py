@@ -159,3 +159,46 @@ def test_run_dataset_batched_sequences(tmp_path, monkeypatch):
     ])
     assert (out_dir / f"{seq_a}_seed1.pkl").exists()
     assert (out_dir / f"{seq_b}_seed1.pkl").exists()
+
+
+@pytest.mark.slow
+def test_eval_dataset_multi_seed(tmp_path, monkeypatch):
+    """eval_dataset aggregates multiple seeds (min/mean rules) through the
+    CLI path, including the sample_PA-MPJPE-invis metric."""
+    from glamr_tpu.cli import eval_dataset, run_dataset
+
+    root = tmp_path / "datasets" / "3DPW"
+    est, seq = make_mini_3dpw(str(root), "ms_seq", T=16)
+    out_dir = tmp_path / "out"
+    pe = out_dir / "pose_est" / seq
+    os.makedirs(pe, exist_ok=True)
+    # add an occlusion gap so invis metrics have data
+    est[0]["bboxes_dict"]["exist"][6:9] = 0.0
+    vis = est[0]["bboxes_dict"]["exist"] > 0
+    for k in ["smpl_pose_quat_wroot", "smpl_beta", "root_trans", "kp_2d", "cam_K"]:
+        est[0][k] = est[0][k][vis]
+    with open(pe / "pose.pkl", "wb") as f:
+        pickle.dump(est, f)
+
+    monkeypatch.chdir(tmp_path)
+    from glamr_tpu.utils import Config
+    import yaml
+    cfg = Config("glamr_3dpw")
+    for ss in cfg.opt_stage_specs.values():
+        ss["opt_niters"] = 3
+    cfg_file = tmp_path / "tiny.yml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.yml_dict, f)
+
+    run_dataset.main([
+        "--dataset", "3dpw", "--cfg", str(cfg_file), "--out_dir", str(out_dir),
+        "--sequences", seq, "--seeds", "1,2",
+    ])
+    acc = eval_dataset.main([
+        "--dataset", "3dpw", "--cfg", str(cfg_file), "--out_dir", str(out_dir),
+        "--sequences", seq, "--seeds", "1,2",
+    ])
+    m = acc["metrics"]
+    assert m["PA-MPJPE"].count > 0
+    assert np.isfinite(m["PA-MPJPE-invis"].avg)
+    assert (out_dir / "metrics.yml").exists()
