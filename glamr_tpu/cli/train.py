@@ -50,6 +50,14 @@ def main(argv=None):
     parser.add_argument("--steps_per_epoch", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--synthetic_kind", default="noise",
+                        choices=["noise", "procedural"],
+                        help="noise: unstructured random-walk poses; "
+                             "procedural: gait-model motions (walking/"
+                             "turning/idle) with FK joint positions — the "
+                             "stand-in for AMASS when the licensed dataset "
+                             "is absent")
+    parser.add_argument("--synthetic_num_seqs", type=int, default=None)
     parser.add_argument("--resume", default=None, help="checkpoint path")
     parser.add_argument("--ndevices", type=int, default=None)
     parser.add_argument("--device_data", type=int, default=1,
@@ -105,13 +113,21 @@ def main(argv=None):
 
     # data
     if args.synthetic_data:
-        data, jpos = synthetic_amass_data(16)
+        if args.synthetic_kind == "procedural":
+            from ..data import procedural_amass_data
+
+            data, val_data, jpos, val_jpos = procedural_amass_data(
+                args.synthetic_num_seqs or 64, seed=seed)
+        else:
+            data, jpos = synthetic_amass_data(args.synthetic_num_seqs or 16)
+            val_data, val_jpos = data, jpos
         train_ds = AMASSDataset(
             data, jpos, seq_len=seq_len,
+            ntime_per_epoch=cfg.get("train_ntime_per_epoch", 1e6),
             seq_sampling_method=cfg.get("seq_sampling_method", "uniform"),
             data_mask_methods=cfg.get("data_mask_methods"),
             pose_gaussian_smooth=cfg.get("pose_gaussian_smooth"))
-        val_ds = AMASSDataset(data, jpos, seq_len=seq_len,
+        val_ds = AMASSDataset(val_data, val_jpos, seq_len=seq_len,
                               data_mask_methods=cfg.get("data_mask_methods"))
     else:
         amass_dir = cfg.get("amass_dir", "datasets/amass_processed/v1")
@@ -156,12 +172,22 @@ def main(argv=None):
     # v5e). Host pipeline remains for gaussian-smooth augmentation, the
     # traj model's jpos windows, and multi-device sharded batches.
     make_batch_dev = None
-    if (args.device_data and args.model == "motion_infiller"
-            and cfg.get("pose_gaussian_smooth") is None and ndev == 1):
+    dev_keys = None
+    if (args.device_data and cfg.get("pose_gaussian_smooth") is None
+            and ndev == 1):
         from ..data import DeviceSampler
+        from ..train import make_trajpred_device_step
 
         dsd = DeviceSampler(train_ds.data, train_ds.seq_prob)
-        mask_spec = (cfg.get("data_mask_methods") or {}).get("drop_frames")
+        if args.model == "motion_infiller":
+            mask_spec = (cfg.get("data_mask_methods") or {}).get("drop_frames")
+            dev_keys = ("in_body_pose", "gt_body_pose", "frame_mask")
+        else:
+            # raw theta windows; FK + quat conversion happen inside the
+            # jitted step (make_trajpred_device_step)
+            mask_spec = None
+            dev_keys = ("pose", "trans", "frame_loss_mask")
+            step_fn = make_trajpred_device_step(model, tx, cfg.loss_cfg, smpl)
         make_batch_dev = lambda key: dsd.sample_batch(
             key, batch_size, seq_len, mask_spec)
         log.info("using device-resident batch sampling")
@@ -185,8 +211,7 @@ def main(argv=None):
             rng, sub, kb = jax.random.split(rng, 3)
             if make_batch_dev is not None:
                 batch = make_batch_dev(kb)
-                batch = {k: batch[k] for k in
-                         ("in_body_pose", "gt_body_pose", "frame_mask")}
+                batch = {k: batch[k] for k in dev_keys}
             else:
                 batch = shard_batch(make_batch(np_rng), mesh)
             state, metrics = step_fn(state, batch, replicate(sub, mesh))

@@ -1,0 +1,182 @@
+"""Procedural human-motion generator (gait model) in AMASS format.
+
+The reference trains its CVAEs on AMASS mocap (SURVEY C18/C21), which is
+licensed and absent from this image. `synthetic_amass_data` (data/amass.py)
+keeps the pipeline runnable but its random-walk poses carry no structure,
+so a model trained on it only learns to smooth noise. This module generates
+*structured* motion — periodic walking gaits with speed/heading variation,
+turning bouts, and idle sway — so that training-to-convergence produces a
+meaningful motion prior: the infiller learns periodic limb coordination it
+can extrapolate through occlusion gaps, and the trajectory predictor learns
+the correlation between gait phase/leg swing and root translation/heading,
+which is exactly the structure GLAMR's stage 3 exploits (traj_pred/models/
+traj_pred_vae.py predicts the 11-D local trajectory from joint positions).
+
+Output matches preprocess.amass.process_amass's input schema, so FK joint
+positions and the train/test split reuse that code path unchanged.
+
+SMPL joint conventions used here (body frame y-up, facing +z):
+hip/knee flexion = rotation about +x/-x, arm lowering = rotation about z.
+World frame is z-up: global orient = Rz(heading) @ R_base where R_base is
+the axis-permutation quaternion the AMASS preprocessing uses
+(axis-angle (1.2092, 1.2092, 1.2092) = 120 deg about (1,1,1), mapping body
++y (up) to world +z and body +z (facing) to world +x).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# SMPL joint indices (pose (T, 24, 3) axis-angle; joint 0 = global orient)
+L_HIP, R_HIP, SPINE1, L_KNEE, R_KNEE, SPINE2 = 1, 2, 3, 4, 5, 6
+L_ANKLE, R_ANKLE, SPINE3, L_FOOT, R_FOOT, NECK = 7, 8, 9, 10, 11, 12
+L_COLLAR, R_COLLAR, HEAD, L_SHOULDER, R_SHOULDER = 13, 14, 15, 16, 17
+L_ELBOW, R_ELBOW, L_WRIST, R_WRIST = 18, 19, 20, 21
+
+BASE_ORIENT_AA = np.array([1.2092, 1.2092, 1.2092], np.float32)
+
+
+def _ou_process(rng, T, theta=0.05, sigma=0.02, x0=0.0):
+    """Ornstein-Uhlenbeck: smooth, mean-reverting noise."""
+    x = np.empty(T, np.float32)
+    x[0] = x0
+    noise = rng.normal(0, sigma, T).astype(np.float32)
+    for t in range(1, T):
+        x[t] = x[t - 1] - theta * x[t - 1] + noise[t]
+    return x
+
+
+def _smooth_noise(rng, T, n_joints, sigma):
+    """Low-frequency per-joint jitter (cumsum-of-noise, detrended)."""
+    x = np.cumsum(rng.normal(0, sigma, (T, n_joints, 3)), axis=0)
+    return (x - x.mean(axis=0, keepdims=True)).astype(np.float32)
+
+
+def _heading_rotvec(heading: np.ndarray) -> np.ndarray:
+    """Axis-angle of Rz(heading) @ R_base, per frame. Quaternion compose
+    in numpy (host-side data generation; no jax needed)."""
+    half_base = np.linalg.norm(BASE_ORIENT_AA) / 2  # = pi/3
+    qb = np.concatenate([[np.cos(half_base)],
+                         BASE_ORIENT_AA / np.linalg.norm(BASE_ORIENT_AA)
+                         * np.sin(half_base)])
+    hh = heading / 2
+    qz = np.stack([np.cos(hh), np.zeros_like(hh), np.zeros_like(hh),
+                   np.sin(hh)], axis=-1)
+    # quaternion product qz * qb
+    w1, x1, y1, z1 = qz[:, 0], qz[:, 1], qz[:, 2], qz[:, 3]
+    w2, x2, y2, z2 = qb
+    q = np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+    # quat -> rotvec
+    w = np.clip(q[:, 0], -1.0, 1.0)
+    angle = 2 * np.arccos(np.abs(w))
+    sign = np.where(w < 0, -1.0, 1.0)
+    s = np.sqrt(np.maximum(1 - w * w, 1e-12))
+    axis = sign[:, None] * q[:, 1:] / s[:, None]
+    return (axis * angle[:, None]).astype(np.float32)
+
+
+def _gait_pose(rng, T, fps=30.0):
+    """Periodic walking-gait body pose (T, 24, 3) and per-frame speed."""
+    f = rng.uniform(0.7, 1.4)                       # stride frequency, Hz
+    phase0 = rng.uniform(0, 2 * np.pi)
+    phi = 2 * np.pi * f * np.arange(T) / fps + phase0
+    a_hip = rng.uniform(0.25, 0.55)
+    a_knee = rng.uniform(0.4, 0.9)
+    a_arm = a_hip * rng.uniform(0.5, 1.0)
+    pose = np.zeros((T, 24, 3), np.float32)
+    s, c = np.sin(phi), np.cos(phi)
+    # legs: hips antiphase, knee flexes during its swing phase
+    pose[:, L_HIP, 0] = a_hip * s
+    pose[:, R_HIP, 0] = -a_hip * s
+    pose[:, L_KNEE, 0] = a_knee * np.maximum(0.0, c)
+    pose[:, R_KNEE, 0] = a_knee * np.maximum(0.0, -c)
+    pose[:, L_ANKLE, 0] = -0.3 * a_hip * s
+    pose[:, R_ANKLE, 0] = 0.3 * a_hip * s
+    # arms: lowered from T-pose, counter-swinging
+    pose[:, L_SHOULDER, 2] = -1.2
+    pose[:, R_SHOULDER, 2] = 1.2
+    pose[:, L_SHOULDER, 0] = -a_arm * s
+    pose[:, R_SHOULDER, 0] = a_arm * s
+    pose[:, L_ELBOW, 1] = -0.35 - 0.2 * np.maximum(0.0, -s)
+    pose[:, R_ELBOW, 1] = 0.35 + 0.2 * np.maximum(0.0, s)
+    # torso/head sway at double the stride frequency
+    pose[:, SPINE1, 1] = 0.04 * np.sin(2 * phi)
+    pose[:, SPINE2, 2] = 0.03 * np.sin(2 * phi + 0.5)
+    pose[:, HEAD, 0] = 0.03 * np.sin(2 * phi + 1.0)
+    speed = rng.uniform(0.8, 1.5) * (1 + 0.08 * np.sin(2 * phi))
+    bob = 0.025 * np.sin(2 * phi)
+    return pose, speed.astype(np.float32), bob.astype(np.float32)
+
+
+def _idle_pose(rng, T):
+    """Standing idle: arms down, slow sway."""
+    pose = np.zeros((T, 24, 3), np.float32)
+    pose[:, L_SHOULDER, 2] = -1.25
+    pose[:, R_SHOULDER, 2] = 1.25
+    pose[:, L_ELBOW, 1] = -0.2
+    pose[:, R_ELBOW, 1] = 0.2
+    sway = _ou_process(rng, T, theta=0.02, sigma=0.004)
+    pose[:, SPINE1, 0] = sway
+    pose[:, HEAD, 1] = _ou_process(rng, T, theta=0.02, sigma=0.006)
+    speed = np.zeros(T, np.float32)
+    return pose, speed, np.zeros(T, np.float32)
+
+
+def procedural_motions(num_seqs: int = 64, min_len: int = 120,
+                       max_len: int = 600, seed: int = 0,
+                       fps: float = 30.0) -> list[dict]:
+    """List of {'poses' (T,72), 'trans' (T,3), 'betas' (10,), 'name',
+    'mocap_framerate'} — process_amass's input schema."""
+    rng = np.random.default_rng(seed)
+    motions = []
+    for i in range(num_seqs):
+        T = int(rng.integers(min_len, max_len + 1))
+        kind = rng.choice(["walk", "walk", "walk", "turn", "idle"])
+        if kind == "idle":
+            pose, speed, bob = _idle_pose(rng, T)
+            omega = _ou_process(rng, T, theta=0.05, sigma=0.002)
+        else:
+            pose, speed, bob = _gait_pose(rng, T, fps)
+            if kind == "turn":
+                speed *= rng.uniform(0.0, 0.3)
+                omega = np.full(T, rng.uniform(-1.2, 1.2), np.float32) \
+                    + _ou_process(rng, T, theta=0.05, sigma=0.01)
+            else:
+                omega = _ou_process(rng, T, theta=0.03, sigma=0.015)
+        # small unstructured jitter so the prior isn't a pure sinusoid
+        pose[:, 1:] += _smooth_noise(rng, T, 23, 0.004)
+
+        heading = rng.uniform(0, 2 * np.pi) + np.cumsum(omega) / fps
+        dxy = (speed / fps)[:, None] * np.stack(
+            [np.cos(heading), np.sin(heading)], axis=-1)
+        xy = np.cumsum(dxy, axis=0) + rng.uniform(-2, 2, 2)
+        z = rng.uniform(0.88, 0.96) + bob
+        trans = np.concatenate([xy, z[:, None]], axis=-1).astype(np.float32)
+
+        pose[:, 0] = _heading_rotvec(heading.astype(np.float32))
+        motions.append({
+            "poses": pose.reshape(T, 72),
+            "trans": trans,
+            "betas": rng.normal(0, 0.8, 16).astype(np.float32),
+            "name": f"proc_{kind}_{i:04d}",
+            "mocap_framerate": fps,
+        })
+    return motions
+
+
+def procedural_amass_data(num_seqs: int = 64, min_len: int = 120,
+                          max_len: int = 600, seed: int = 0, smpl=None,
+                          train_ratio: float = 0.9):
+    """(train, test, train_jpos, test_jpos) AMASS-format dicts with FK
+    joint positions, via preprocess.amass.process_amass (30 fps already,
+    so resampling is identity)."""
+    from ..preprocess.amass import process_amass
+
+    motions = procedural_motions(num_seqs, min_len, max_len, seed)
+    return process_amass(motions, smpl=smpl, source_fps=30.0,
+                         target_fps=30.0, min_seq_len=min(60, min_len),
+                         train_ratio=train_ratio, seed=seed)
