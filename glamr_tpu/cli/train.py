@@ -43,7 +43,7 @@ def build_trajpred_batch(ds, rng, batch_size, smpl):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="motion_infiller",
-                        choices=["motion_infiller", "traj_pred"])
+                        choices=["motion_infiller", "traj_pred", "lifter"])
     parser.add_argument("--cfg", default=None)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
@@ -92,9 +92,11 @@ def main(argv=None):
     from ..utils.checkpoint import load_checkpoint, save_checkpoint
     from ..utils.tools import find_last_version
 
-    cfg = Config(args.cfg or (
-        "motion_infiller_demo" if args.model == "motion_infiller"
-        else "traj_pred_demo"))
+    cfg = Config(args.cfg or {
+        "motion_infiller": "motion_infiller_demo",
+        "traj_pred": "traj_pred_demo",
+        "lifter": "kp_lifter_demo",
+    }[args.model])
     seed = args.seed if args.seed is not None else cfg.get("seed", 1)
     epochs = args.epochs or int(cfg.get("max_epochs", 100))
     batch_size = args.batch_size or int(cfg.get("batch_size", 64))
@@ -158,6 +160,21 @@ def main(argv=None):
         eval_fn = make_infiller_eval_step(model, cfg.loss_cfg, mesh)
         make_batch = lambda r: build_infiller_batch(train_ds, r, batch_size)
         make_val = lambda r: build_infiller_batch(val_ds, r, batch_size)
+    elif args.model == "lifter":
+        from ..pose_est.lifter import (KeypointLifter, LifterConfig,
+                                       init_lifter)
+        from ..pose_est.synth import LifterDataGen
+        from ..train import make_lifter_eval_step, make_lifter_train_step
+
+        lcfg = LifterConfig.from_dict(cfg.model_specs)
+        model = KeypointLifter(lcfg)
+        state = init_lifter(model, tx, rng, seq_len=seq_len)
+        step_fn = make_lifter_train_step(model, tx, cfg.loss_cfg, mesh)
+        eval_fn = make_lifter_eval_step(model, cfg.loss_cfg, mesh)
+        gen_train = LifterDataGen(train_ds.data, smpl, seq_len=seq_len)
+        gen_val = LifterDataGen(val_ds.data, smpl, seq_len=seq_len)
+        make_batch = lambda r: gen_train.batch(r, batch_size)
+        make_val = lambda r: gen_val.batch(r, batch_size)
     else:
         tcfg = TrajPredConfig.from_dict(cfg.model_specs, seq_len=seq_len)
         model = TrajPredVAE(tcfg)
@@ -174,7 +191,7 @@ def main(argv=None):
     make_batch_dev = None
     dev_keys = None
     if (args.device_data and cfg.get("pose_gaussian_smooth") is None
-            and ndev == 1):
+            and ndev == 1 and args.model != "lifter"):
         from ..data import DeviceSampler
         from ..train import make_trajpred_device_step
 

@@ -1,0 +1,126 @@
+"""In-framework pose estimator: 2D keypoint tracks -> pose.pkl.
+
+Replaces the HybrIK subprocess (reference pose_est/run_pose_est_demo.py:
+25-28) for the SMPL-regression half of stage 1: given per-person 2D
+keypoint tracks (from any detector — the reference likewise leaves
+detection to an external model, hybrik_demo/demo.py:238-265), the
+keypoint lifter (pose_est/lifter.py) predicts camera-frame 3D joints,
+root translation, twist angles and shape, and the analytic twist-swing IK
+(pose_est/ik.py) recovers the SMPL pose — emitting the exact pose.pkl
+schema the global recon optimizer consumes (pose_est/bridge.py).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def load_lifter(cfg_id: str = "kp_lifter_demo", version: str = "last",
+                cp: str = "best"):
+    """Resolve the latest trained lifter checkpoint (same versioned-dir
+    convention as the CVAEs, utils/tools.py find_last_version)."""
+    import jax
+
+    from ..train.trainer import make_tx
+    from ..utils import Config
+    from ..utils.checkpoint import load_checkpoint
+    from ..utils.tools import find_last_version, get_checkpoint_path
+    from .lifter import KeypointLifter, LifterConfig, init_lifter
+
+    cfg = Config(cfg_id)
+    lcfg = LifterConfig.from_dict(cfg.model_specs)
+    model = KeypointLifter(lcfg)
+    base = os.path.join(cfg.get("results_root_dir", "results"), cfg.id)
+    v = find_last_version(base) if version == "last" else int(version)
+    cp_path = get_checkpoint_path(
+        os.path.join(base, f"version_{v}", "checkpoints"), cp)
+    state = init_lifter(model, make_tx(1e-3), jax.random.PRNGKey(0))
+    state = load_checkpoint(cp_path, target=jax.device_get(state))
+    return model, state.params, cfg
+
+
+def lifter_pose_est(kp_2d: np.ndarray, cam_K: np.ndarray,
+                    model, params, smpl=None,
+                    conf: Optional[np.ndarray] = None) -> dict:
+    """Estimate SMPL pose for ONE person track.
+
+    kp_2d: (Tv, K, 2) pixel keypoints (SMPL 24-joint order)
+    cam_K: (3, 3) or (Tv, 3, 3) intrinsics
+    conf:  (Tv, K) keypoint confidences (1.0 if None)
+
+    Returns the per-person fields of the pose.pkl schema:
+    smpl_pose_quat_wroot (Tv,24,3,3), smpl_beta (Tv,10), root_trans (Tv,3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..body.smpl import get_smpl
+    from ..transforms import angle_axis_to_rotation_matrix
+    from .ik import hybrik
+
+    smpl = smpl or get_smpl("body26fk")
+    Tv, K = kp_2d.shape[:2]
+    cam_K = np.broadcast_to(np.asarray(cam_K, np.float32), (Tv, 3, 3))
+    f = np.stack([cam_K[:, 0, 0], cam_K[:, 1, 1]], -1)[:, None, :]
+    pp = np.stack([cam_K[:, 0, 2], cam_K[:, 1, 2]], -1)[:, None, :]
+    kp_norm = (kp_2d - pp) / f
+    vis = np.ones((Tv, K), np.float32) if conf is None \
+        else np.asarray(conf, np.float32)
+
+    out = model.apply(params, jnp.asarray(kp_norm[None]),
+                      jnp.asarray(vis[None]))
+    jpos = out["jpos_rel"][0]                       # (Tv, 24, 3)
+    root = np.asarray(out["root_trans"][0])         # (Tv, 3)
+    tw = out["twist"][0]                            # (Tv, NT, 2)
+    betas = jnp.broadcast_to(out["betas"], (Tv, 10))
+
+    twist = jnp.arctan2(tw[..., 0], tw[..., 1])
+    pose = hybrik(smpl.model, jpos, twist, betas)   # (Tv, 72)
+    rotmats = np.asarray(angle_axis_to_rotation_matrix(
+        pose.reshape(Tv, 24, 3)))
+
+    return {
+        "smpl_pose_quat_wroot": rotmats.astype(np.float32),
+        "smpl_beta": np.asarray(betas, np.float32),
+        "root_trans": root.astype(np.float32),
+        "kp_2d": np.asarray(kp_2d, np.float32),
+        "cam_K": cam_K,
+    }
+
+
+def run_lifter_on_tracks(tracks: dict, cam_K: np.ndarray, num_fr: int,
+                         model=None, params=None, smpl=None,
+                         pose_est_dir: Optional[str] = None) -> dict:
+    """Full pose.pkl from multi-person keypoint tracks.
+
+    tracks: {person_id: {'kp_2d' (Tv,K,2), 'frames' (Tv,) int,
+                         optional 'conf' (Tv,K)}}
+    Returns (and optionally writes) the schema-valid estimate dict.
+    """
+    import pickle
+
+    from .bridge import validate_pose_dict
+
+    if model is None or params is None:
+        model, params, _ = load_lifter()
+    est = {}
+    for pid, tr in tracks.items():
+        frames = np.asarray(tr["frames"], np.int64)
+        exist = np.zeros(num_fr, np.float32)
+        exist[frames] = 1.0
+        pd = lifter_pose_est(np.asarray(tr["kp_2d"], np.float32), cam_K,
+                             model, params, smpl=smpl, conf=tr.get("conf"))
+        pd.update({
+            "frames": frames,
+            "frame2ind": {int(fr): i for i, fr in enumerate(frames)},
+            "bboxes_dict": {"exist": exist},
+        })
+        est[pid] = pd
+    validate_pose_dict(est)
+    if pose_est_dir is not None:
+        os.makedirs(pose_est_dir, exist_ok=True)
+        with open(os.path.join(pose_est_dir, "pose.pkl"), "wb") as fh:
+            pickle.dump(est, fh)
+    return est

@@ -219,6 +219,54 @@ def make_infiller_multistep(model: MotionInfillerVAE, tx, loss_cfg: dict,
     return make_multistep(step, K)
 
 
+# -------------------------------------------------------------- kp lifter
+
+def make_lifter_train_step(model, tx, loss_cfg: dict,
+                           mesh: Optional[Mesh] = None):
+    """Train step for the keypoint lifter (pose_est/lifter.py).
+    batch: kp_2d (B,T,K,2), vis (B,T,K), gt_* targets (see LifterDataGen)."""
+    from ..pose_est.lifter import lifter_loss_dict
+
+    def loss_fn(params, batch, rng):
+        out = model.apply(params, batch["kp_2d"], batch["vis"],
+                          deterministic=False, rngs={"dropout": rng})
+        total, uw = weighted_total({**batch, **out}, loss_cfg,
+                                   lifter_loss_dict)
+        return total, uw
+
+    def step(state: TrainState, batch, rng):
+        (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), {"loss": loss, **uw}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(step, donate_argnums=0,
+                   in_shardings=(repl, dp, repl), out_shardings=(repl, repl))
+
+
+def make_lifter_eval_step(model, loss_cfg: dict,
+                          mesh: Optional[Mesh] = None):
+    from ..pose_est.lifter import lifter_loss_dict
+
+    def step(params, batch, rng):
+        out = model.apply(params, batch["kp_2d"], batch["vis"])
+        total, uw = weighted_total({**batch, **out}, loss_cfg,
+                                   lifter_loss_dict)
+        return {"loss": total, **uw}
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(step, in_shardings=(repl, dp, repl), out_shardings=repl)
+
+
 def make_trajpred_device_step(model: TrajPredVAE, tx, loss_cfg: dict, smpl):
     """Train step whose batch is the RAW device-sampler output (pose (B,T,72),
     trans (B,T,3), frame_loss_mask): joint positions (template FK) and the
