@@ -23,6 +23,12 @@ def main(argv=None):
     parser.add_argument("--multi", action="store_true")
     parser.add_argument("--synthetic_pose_est", action="store_true",
                         help="generate a synthetic pose.pkl (no HybrIK needed)")
+    parser.add_argument("--kp_file", default=None,
+                        help="2D keypoint tracks pickle "
+                             "{pid: {kp_2d (Tv,24,2), frames, conf?}, "
+                             "'cam_K', 'num_fr'} — runs the in-framework "
+                             "lifter estimator (pose_est/estimator.py) "
+                             "instead of the HybrIK subprocess")
     parser.add_argument("--num_fr", type=int, default=150,
                         help="frames for --synthetic_pose_est without video")
     args = parser.parse_args(argv)
@@ -48,6 +54,15 @@ def main(argv=None):
     elif args.synthetic_pose_est:
         est = synthetic_pose_est(args.num_fr, num_persons=2 if args.multi else 1,
                                  pose_est_dir=pose_est_dir)
+    elif args.kp_file:
+        from ..pose_est.estimator import run_lifter_on_tracks
+
+        with open(args.kp_file, "rb") as f:
+            kp_data = pickle.load(f)
+        cam_K = np.asarray(kp_data.pop("cam_K"))
+        num_fr = int(kp_data.pop("num_fr"))
+        est = run_lifter_on_tracks(kp_data, cam_K, num_fr,
+                                   pose_est_dir=pose_est_dir)
     else:
         pose_pkl = run_pose_est_on_video(
             args.video_path, os.path.join(pose_est_dir, "frames"),

@@ -202,3 +202,54 @@ def test_eval_dataset_multi_seed(tmp_path, monkeypatch):
     assert m["PA-MPJPE"].count > 0
     assert np.isfinite(m["PA-MPJPE-invis"].avg)
     assert (out_dir / "metrics.yml").exists()
+
+
+@pytest.mark.slow
+def test_run_demo_lifter_kp_file(tmp_path, monkeypatch):
+    """The in-framework stage 1: train the keypoint lifter briefly, feed
+    2D keypoint tracks through run_demo --kp_file (lifter + twist-swing IK
+    -> pose.pkl -> global recon), no HybrIK involved."""
+    monkeypatch.chdir(tmp_path)
+    import yaml
+
+    from glamr_tpu.cli import run_demo, train as train_cli
+    from glamr_tpu.data.procedural import procedural_amass_data
+    from glamr_tpu.pose_est.synth import LifterDataGen
+    from glamr_tpu.utils import Config
+
+    train_cli.main([
+        "--model", "lifter", "--synthetic_data", "--synthetic_kind",
+        "procedural", "--synthetic_num_seqs", "6", "--epochs", "1",
+        "--steps_per_epoch", "2", "--batch_size", "4", "--ndevices", "1",
+    ])
+
+    # pixel-space keypoint tracks from a procedural clip + synthetic camera
+    smpl = get_smpl("body26fk", synthetic=True)
+    data, _, _, _ = procedural_amass_data(num_seqs=4, min_len=40,
+                                          max_len=50, seed=3, smpl=smpl)
+    T = 24
+    gen = LifterDataGen(data, smpl, seq_len=T)
+    s = gen.sample(np.random.default_rng(0))
+    K = np.array([[1000.0, 0, 960], [0, 1000.0, 540], [0, 0, 1]], np.float32)
+    kp_px = s["kp_2d"] * np.array([1000.0, 1000.0]) + np.array([960.0, 540.0])
+    kp_file = tmp_path / "tracks.pkl"
+    with open(kp_file, "wb") as f:
+        pickle.dump({0: {"kp_2d": kp_px.astype(np.float32),
+                         "frames": np.arange(T), "conf": s["vis"]},
+                     "cam_K": K, "num_fr": T}, f)
+
+    cfg = Config("glamr_static")
+    for ss in cfg.opt_stage_specs.values():
+        ss["opt_niters"] = 3
+    cfg_file = tmp_path / "tiny_demo.yml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.yml_dict, f)
+
+    outs = run_demo.main([
+        "--cfg", str(cfg_file), "--kp_file", str(kp_file),
+        "--out_dir", str(tmp_path / "demo_out"), "--vis", "0",
+        "--cached", "0",
+    ])
+    out = outs[1]
+    assert np.isfinite(np.asarray(out["person_data"][0]["root_trans_world"])).all()
+    assert (tmp_path / "demo_out" / "pose_est" / "synthetic" / "pose.pkl").exists()
