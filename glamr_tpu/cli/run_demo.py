@@ -96,11 +96,13 @@ def main(argv=None):
 
     if args.vis:
         from ..vis import GReconVisualizer
+        from ..vis.vis_cfg import get_render_spec
 
         out_dict = outs[seeds[0]]
+        spec = get_render_spec(seq_name) or {}
         for coord in ["world", "cam_in_world"]:
             v = GReconVisualizer(out_dict, smpl=grecon.smpl, coord=coord,
-                                 background_video=args.video_path)
+                                 background_video=args.video_path, **spec)
             path = os.path.join(args.out_dir, f"{seq_name}_{coord}.mp4")
             v.save_animation_as_video(path)
             log.info(f"wrote {path}")

@@ -174,9 +174,15 @@ def procedural_amass_data(num_seqs: int = 64, min_len: int = 120,
     """(train, test, train_jpos, test_jpos) AMASS-format dicts with FK
     joint positions, via preprocess.amass.process_amass (30 fps already,
     so resampling is identity)."""
+    import jax
+
     from ..preprocess.amass import process_amass
 
     motions = procedural_motions(num_seqs, min_len, max_len, seed)
-    return process_amass(motions, smpl=smpl, source_fps=30.0,
-                         target_fps=30.0, min_seq_len=min(60, min_len),
-                         train_ratio=train_ratio, seed=seed)
+    # pin the per-sequence FK prep to the CPU backend: many small eager
+    # ops; dispatching them to a (possibly remote) accelerator costs a
+    # round-trip each
+    with jax.default_device(jax.devices("cpu")[0]):
+        return process_amass(motions, smpl=smpl, source_fps=30.0,
+                             target_fps=30.0, min_seq_len=min(60, min_len),
+                             train_ratio=train_ratio, seed=seed)

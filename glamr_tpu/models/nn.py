@@ -231,19 +231,27 @@ class LSTM(nn.Module):
     """(Bi-directional) LSTM over (B, T, D) via lax.scan.
 
     bi_dir splits out_dim across forward/backward passes like the
-    reference RNN (rnn.py:5-61)."""
+    reference RNN (rnn.py:5-61).
+
+    lengths (B,) — optional true sequence lengths for ragged batches: the
+    backward pass flips only the valid segment (flax seq_lengths), so
+    outputs at valid frames are bit-identical to running each sequence at
+    its own length (pad frames never leak through the backward state).
+    Outputs at pad frames are unspecified; consumers mask them.
+    """
 
     out_dim: int
     bi_dir: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths=None):
         hidden = self.out_dim // 2 if self.bi_dir else self.out_dim
-        fwd = nn.RNN(nn.OptimizedLSTMCell(hidden, name="cell_f"), name="rnn_f")(x)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(hidden, name="cell_f"), name="rnn_f")(
+            x, seq_lengths=lengths)
         if not self.bi_dir:
             return fwd
         bwd = nn.RNN(nn.OptimizedLSTMCell(hidden, name="cell_b"), name="rnn_b")(
-            x, reverse=True, keep_order=True
+            x, reverse=True, keep_order=True, seq_lengths=lengths
         )
         return jnp.concatenate([fwd, bwd], axis=-1)
 
@@ -253,12 +261,14 @@ class GRU(nn.Module):
     bi_dir: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths=None):
         hidden = self.out_dim // 2 if self.bi_dir else self.out_dim
-        fwd = nn.RNN(nn.GRUCell(hidden, name="cell_f"), name="rnn_f")(x)
+        fwd = nn.RNN(nn.GRUCell(hidden, name="cell_f"), name="rnn_f")(
+            x, seq_lengths=lengths)
         if not self.bi_dir:
             return fwd
-        bwd = nn.RNN(nn.GRUCell(hidden, name="cell_b"), name="rnn_b")(x, reverse=True, keep_order=True)
+        bwd = nn.RNN(nn.GRUCell(hidden, name="cell_b"), name="rnn_b")(
+            x, reverse=True, keep_order=True, seq_lengths=lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 

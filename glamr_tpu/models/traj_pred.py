@@ -48,14 +48,19 @@ class TPContextEncoder(nn.Module):
     cfg: TrajPredConfig
 
     @nn.compact
-    def __call__(self, joint_pos: jax.Array) -> jax.Array:
-        """joint_pos: (B, T, 69) root-relative joints -> context (B, T, D)."""
+    def __call__(self, joint_pos: jax.Array, lengths=None) -> jax.Array:
+        """joint_pos: (B, T, 69) root-relative joints -> context (B, T, D).
+
+        lengths (B,) — optional true lengths for ragged batches (stage-4
+        span-rolled decode): the bi-LSTMs flip only the valid segment, so
+        pad frames never leak into valid context (nn.LSTM lengths)."""
         c = self.cfg
         x = joint_pos
         if c.ctx_in_mlp is not None:
             x = MLP(c.ctx_in_mlp, c.mlp_htype, name="in_mlp")(x)
         for i in range(c.ctx_rnn_layers):
-            x = make_rnn(c.ctx_rnn_type, c.ctx_rnn_hdim, c.ctx_rnn_bi_dir, f"rnn{i}")(x)
+            x = make_rnn(c.ctx_rnn_type, c.ctx_rnn_hdim, c.ctx_rnn_bi_dir,
+                         f"rnn{i}")(x, lengths)
         if c.ctx_out_mlp is not None:
             x = MLP(c.ctx_out_mlp, c.mlp_htype, name="out_mlp")(x)
         if c.ctx_fc is not None:
@@ -91,7 +96,7 @@ class TPDataDecoder(nn.Module):
     cfg: TrajPredConfig
 
     @nn.compact
-    def __call__(self, z: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(self, z: jax.Array, context: jax.Array, lengths=None) -> jax.Array:
         """z: (B, nz), context: (B, T, D) -> raw local traj (B, T, 11)."""
         c = self.cfg
         T = context.shape[1]
@@ -100,7 +105,8 @@ class TPDataDecoder(nn.Module):
         if c.dec_in_mlp is not None:
             x = MLP(c.dec_in_mlp, c.mlp_htype, name="in_mlp")(x)
         for i in range(c.dec_rnn_layers):
-            x = make_rnn(c.dec_rnn_type, c.dec_rnn_hdim, c.dec_rnn_bi_dir, f"rnn{i}")(x)
+            x = make_rnn(c.dec_rnn_type, c.dec_rnn_hdim, c.dec_rnn_bi_dir,
+                         f"rnn{i}")(x, lengths)
         if c.dec_out_mlp is not None:
             x = MLP(c.dec_out_mlp, c.mlp_htype, name="out_mlp")(x)
         return nn.Dense(c.traj_dim, name="out_fc")(x)
@@ -110,9 +116,20 @@ class TPPrior(nn.Module):
     cfg: TrajPredConfig
 
     @nn.compact
-    def __call__(self, context: jax.Array) -> Normal:
+    def __call__(self, context: jax.Array, lengths=None) -> Normal:
         c = self.cfg
-        h = jnp.mean(context, axis=1) if c.dec_pooling == "mean" else jnp.max(context, axis=1)
+        if lengths is None:
+            h = (jnp.mean(context, axis=1) if c.dec_pooling == "mean"
+                 else jnp.max(context, axis=1))
+        else:
+            # masked pooling over the valid segment only
+            m = (jnp.arange(context.shape[1])[None] < lengths[:, None])
+            m = m[..., None].astype(context.dtype)
+            if c.dec_pooling == "mean":
+                h = (context * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+            else:
+                neg = jnp.finfo(context.dtype).min
+                h = jnp.where(m > 0, context, neg).max(1)
         if c.dec_prior_mlp is not None:
             h = MLP(c.dec_prior_mlp, c.mlp_htype, name="prior_mlp")(h)
         return Normal.from_params(nn.Dense(2 * c.nz, name="p_z_net")(h))
@@ -153,9 +170,9 @@ class TrajPredVAE(nn.Module):
         self.data_decoder = TPDataDecoder(self.cfg)
         self.prior = TPPrior(self.cfg) if self.cfg.dec_learn_prior else None
 
-    def _prior(self, context) -> Normal:
+    def _prior(self, context, lengths=None) -> Normal:
         if self.prior is not None:
-            return self.prior(context)
+            return self.prior(context, lengths)
         zeros = jnp.zeros((context.shape[0], self.cfg.nz), context.dtype)
         return Normal(mu=zeros, logvar=zeros)
 
@@ -220,15 +237,20 @@ class TrajPredVAE(nn.Module):
             "p_z_dist": p_dist,
         }
 
-    def decode(self, joint_pos, eps, init_xy=None, init_heading=None) -> dict:
+    def decode(self, joint_pos, eps, init_xy=None, init_heading=None,
+               lengths=None) -> dict:
         """Inference: prior sample (eps injection) -> decode -> integrate.
 
-        joint_pos: (B, T, 69). eps: (B, nz) or (1, nz) broadcastable."""
+        joint_pos: (B, T, 69). eps: (B, nz) or (1, nz) broadcastable.
+        lengths: (B,) optional true lengths — with ragged batches, valid
+        frames decode exactly as if each sequence ran at its own length
+        (the reference runs persons separately; this keeps the batched
+        stage-4 decode equivalent)."""
         c = self.cfg
-        context = self.context_encoder(joint_pos)
-        p_dist = self._prior(context)
+        context = self.context_encoder(joint_pos, lengths)
+        p_dist = self._prior(context, lengths)
         z = p_dist.sample(jnp.broadcast_to(eps, p_dist.mu.shape))
-        raw = self.data_decoder(z, context)
+        raw = self.data_decoder(z, context, lengths)
         out_local = apply_init_injection(raw, init_xy, init_heading)
         out_trans, out_orient_q = traj_local2global_heading(
             out_local, local_orient_type=c.local_orient_type,

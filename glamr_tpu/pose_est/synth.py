@@ -51,18 +51,25 @@ class LifterDataGen:
         smpl = smpl or get_smpl("body26fk")
         self.seq_len = seq_len
         self.joints_w, self.twist_sc, self.betas = [], [], []
-        with jax.default_device(jax.devices("cpu")[0]):
-            for theta in data.values():
-                trans = theta[:, :3]
-                pose = jnp.asarray(theta[:, 3:75])
-                beta = jnp.asarray(theta[:, 75:85])
+        # FK + twist extraction over ALL sequences as one flat frame batch
+        # (per-sequence eager calls dominate prep time for large datasets)
+        thetas = list(data.values())
+        if thetas:
+            flat = np.concatenate(thetas, axis=0)
+            with jax.default_device(jax.devices("cpu")[0]):
+                pose = jnp.asarray(flat[:, 3:75])
+                beta = jnp.asarray(flat[:, 75:85])
                 _, j = lbs(smpl.model, beta, pose, want_verts=False)
-                jw = np.asarray(j) + trans[:, None, :]
+                jw_all = (np.asarray(j) + flat[:, None, :3]).astype(np.float32)
                 tw = np.asarray(twist_angles(smpl.model, pose, beta))
-                self.joints_w.append(jw.astype(np.float32))
-                self.twist_sc.append(np.stack(
-                    [np.sin(tw), np.cos(tw)], axis=-1).astype(np.float32))
+            tw_all = np.stack([np.sin(tw), np.cos(tw)], axis=-1).astype(np.float32)
+            off = 0
+            for theta in thetas:
+                t = theta.shape[0]
+                self.joints_w.append(jw_all[off: off + t])
+                self.twist_sc.append(tw_all[off: off + t])
                 self.betas.append(theta[0, 75:85].astype(np.float32))
+                off += t
         self.lengths = np.array([j.shape[0] for j in self.joints_w])
 
     def sample(self, rng: np.random.Generator) -> dict:

@@ -49,23 +49,35 @@ def resample_sequence(data: np.ndarray, source_fps: float,
     return out.reshape((T_tgt,) + data.shape[1:])
 
 
+_FK_CHUNK = 8192
+
+
 def _fk_joints(smpl, pose: np.ndarray, shape: Optional[np.ndarray]) -> np.ndarray:
     """Body-local 24-joint positions (zero orient/trans), full LBS joints
-    when shape given, template FK otherwise (amass_utils.py:41-66)."""
+    when shape given, template FK otherwise (amass_utils.py:41-66).
+
+    Frames batch into large fixed chunks so a whole dataset's FK is a
+    handful of dispatches instead of per-sequence eager chains (per-op
+    dispatch dominated preprocessing for hundreds of sequences)."""
     import jax.numpy as jnp
 
     T = pose.shape[0]
-    zeros3 = jnp.zeros((T, 3), jnp.float32)
-    body = jnp.asarray(pose[:, 3:], jnp.float32)
-    if shape is None:
-        joints = smpl.get_joints(zeros3, body, root_trans=zeros3)
-    else:
-        from ..body.lbs import lbs, reroot
+    out = np.empty((T, smpl.model.num_joints, 3), np.float32)
+    for s in range(0, T, _FK_CHUNK):
+        e = min(s + _FK_CHUNK, T)
+        zeros3 = jnp.zeros((e - s, 3), jnp.float32)
+        body = jnp.asarray(pose[s:e, 3:], jnp.float32)
+        if shape is None:
+            joints = smpl.get_joints(zeros3, body, root_trans=zeros3)
+        else:
+            from ..body.lbs import lbs, reroot
 
-        _, j24 = lbs(smpl.model, jnp.asarray(shape, jnp.float32),
-                     jnp.concatenate([zeros3, body], axis=-1), want_verts=False)
-        joints = reroot(j24, j24, zeros3)
-    return np.asarray(joints)
+            _, j24 = lbs(smpl.model, jnp.asarray(shape[s:e], jnp.float32),
+                         jnp.concatenate([zeros3, body], axis=-1),
+                         want_verts=False)
+            joints = reroot(j24, j24, zeros3)
+        out[s:e] = np.asarray(joints)[:, :out.shape[1]]
+    return out
 
 
 def process_amass(motions: list, smpl=None, source_fps: float = 60.0,
@@ -96,9 +108,17 @@ def process_amass(motions: list, smpl=None, source_fps: float = 60.0,
         shape = np.tile(betas[None], (poses.shape[0], 1))
         theta = np.concatenate([trans, poses, shape], axis=-1).astype(np.float32)
         data[name] = theta
-        jp = _fk_joints(smpl, poses, shape)
-        jp_ns = _fk_joints(smpl, poses, None)
-        jpos[name] = (jp.astype(np.float32), jp_ns.astype(np.float32))
+
+    # FK for ALL sequences in one flat frame batch (chunked dispatches)
+    if data:
+        all_theta = np.concatenate(list(data.values()), axis=0)
+        jp_all = _fk_joints(smpl, all_theta[:, 3:75], all_theta[:, 75:85])
+        jp_ns_all = _fk_joints(smpl, all_theta[:, 3:75], None)
+        off = 0
+        for name, theta in data.items():
+            t = theta.shape[0]
+            jpos[name] = (jp_all[off: off + t], jp_ns_all[off: off + t])
+            off += t
 
     names = list(data.keys())
     rng.shuffle(names)

@@ -105,9 +105,12 @@ def cvae_pred(params: dict, const: dict, joint_model) -> tuple:
     body_pose = infill_multi_step(jm.mfiller, jm.mfiller_params, in_pose,
                                   mask, motion_eps)
     joint_pos = jm.smpl.joint_pos_from_body_pose(body_pose)
+    # per-person true span lengths: the trajectory decode's bi-LSTMs and
+    # prior pooling see only each person's valid frames (exactly the
+    # reference's per-person inference at its own length)
     traj = jm.trajpred.apply(
         jm.trajpred_params, joint_pos, params["traj_latent"],
-        method=type(jm.trajpred).decode,
+        method=type(jm.trajpred).decode, lengths=const.get("span_len"),
     )
     local_traj = traj["out_local_traj"]  # (P, T, 11) rolled
 

@@ -229,12 +229,20 @@ class GlobalReconOptimizer:
         # CVAE-in-the-loop latent optimization — ONE batched code path)
         t_idx0 = np.arange(T)[None, :]
         src0 = np.clip(bp.fr_start[:, None] + t_idx0, 0, bp.fr_end[:, None] - 1)
-        in_pose_rolled0 = np.take_along_axis(
-            bp.smpl_pose_nofill, src0[..., None], axis=1).astype(np.float32)
         span_len0 = (bp.fr_end - bp.fr_start)[:, None]
+        # frames beyond a person's exist span are zeroed AND marked
+        # invisible, exactly like the reference's overhanging-window pads
+        # (get_seg_data pads data with zeros and vis_frame_mask with
+        # True=excluded, motion_infiller_vae.py:571-586) — so the batched
+        # span-rolled decode conditions only on real frames and matches
+        # per-person inference at each person's own length.
+        pad0 = t_idx0 >= span_len0
+        in_pose_rolled0 = np.where(
+            pad0[..., None], 0.0,
+            np.take_along_axis(bp.smpl_pose_nofill, src0[..., None], axis=1)
+        ).astype(np.float32)
         mask_rolled0 = np.where(
-            t_idx0 < span_len0,
-            np.take_along_axis(bp.visible, src0, axis=1), 1.0
+            pad0, 0.0, np.take_along_axis(bp.visible, src0, axis=1)
         ).astype(np.float32)
         unroll_idx0 = np.clip(t_idx0 - bp.fr_start[:, None], 0, T - 1).astype(np.int32)
 
@@ -263,6 +271,8 @@ class GlobalReconOptimizer:
                 "unroll_idx": jnp.asarray(unroll_idx0),
                 "exist_mask": jnp.asarray(bp.exist_frames.astype(np.float32)),
                 "smpl_pose": jnp.asarray(bp.smpl_pose),
+                "span_len": jnp.asarray(
+                    (bp.fr_end - bp.fr_start).astype(np.int32)),
             }
             smpl_pose_j, traj_local_pred_j = cvae_pred(params_stub, const_stub, jm)
             if self.flag_infill_motion:
@@ -383,6 +393,7 @@ class GlobalReconOptimizer:
             "in_pose_rolled": in_pose_rolled.astype(np.float32),
             "mask_rolled": mask_rolled,
             "unroll_idx": unroll_idx,
+            "span_len": (bp.fr_end - bp.fr_start).astype(np.int32),
         }
         if self.joint_model is not None:
             from ..models.motion_infiller import num_windows

@@ -43,8 +43,11 @@ class GReconVisualizer(Visualizer3D):
 
     def __init__(self, data: dict, smpl=None, coord: str = "world",
                  background_video: Optional[str] = None, align_gt: bool = False,
-                 show_gt: bool = False, **kw):
+                 show_gt: bool = False, cam_pos=None, cam_focus=None, **kw):
         super().__init__(**kw)
+        # per-sequence render camera (reference vis_cfg.py specs); None =
+        # auto-frame at render time
+        self.cam_pos, self.cam_focus = cam_pos, cam_focus
         self.data = data
         self.smpl = smpl
         self.coord = coord
@@ -94,12 +97,18 @@ class GReconVisualizer(Visualizer3D):
     def save_animation_as_video(self, out_path: str, fps: float = 30.0,
                                 **kw) -> str:
         if self.coord == "world" and self.camera is None:
-            # frame the scene: look at the mean person position
-            centers = np.concatenate([
-                np.asarray(pd["root_trans_world"])
-                for pd in self.data["person_data"].values()])
-            c = centers.mean(0)
-            self.camera = Camera.lookat(eye=c + np.array([5.0, -5.0, 3.0]),
-                                        target=c, width=self.width,
-                                        height=self.height)
+            if self.cam_pos is not None and self.cam_focus is not None:
+                self.camera = Camera.lookat(
+                    eye=np.asarray(self.cam_pos, np.float64),
+                    target=np.asarray(self.cam_focus, np.float64),
+                    width=self.width, height=self.height)
+            else:
+                # frame the scene: look at the mean person position
+                centers = np.concatenate([
+                    np.asarray(pd["root_trans_world"])
+                    for pd in self.data["person_data"].values()])
+                c = centers.mean(0)
+                self.camera = Camera.lookat(eye=c + np.array([5.0, -5.0, 3.0]),
+                                            target=c, width=self.width,
+                                            height=self.height)
         return super().save_animation_as_video(out_path, self.num_fr, fps, **kw)

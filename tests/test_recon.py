@@ -233,36 +233,40 @@ class TestShippedConfigs:
             assert np.isfinite(pd["root_trans_world"]).all()
 
 
+def make_tiny_joint_model(smpl_syn):
+    import jax
+    import jax.numpy as jnp
+    from glamr_tpu.models import JointModel, MotionInfillerVAE, TrajPredVAE
+    from glamr_tpu.models.configs import MotionInfillerConfig, TrajPredConfig, TransformerSpec
+
+    tf = TransformerSpec(nlayer=1, model_dim=32, nhead=2, ff_dim=64, dropout=0.0)
+    mcfg = MotionInfillerConfig(nz=4, past_nframe=2, cur_nframe=5, fut_nframe=2,
+                                ctx_in_fc=32, ctx_transformer=tf,
+                                enc_transformer=tf, dec_transformer=tf,
+                                prior_transformer=tf, dec_out_mlp=(32,))
+    tcfg = TrajPredConfig(nz=4, seq_len=8, ctx_in_mlp=(32,), ctx_rnn_hdim=32,
+                          ctx_rnn_layers=1, ctx_out_mlp=(32,), enc_in_mlp=(32,),
+                          enc_rnn_hdim=32, enc_rnn_layers=1, enc_out_mlp=(32,),
+                          enc_fusion_mlp=(32,), dec_out_mlp=(32,),
+                          dec_prior_mlp=(32,))
+    mf = MotionInfillerVAE(mcfg)
+    tp = TrajPredVAE(tcfg)
+    rng = jax.random.PRNGKey(0)
+    W = mcfg.window_len
+    mfp = mf.init(rng, jnp.zeros((1, W, 69)), jnp.zeros((1, W, 69)), jnp.ones((1, W)))
+    q0 = jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, 8, 1))
+    tpp = tp.init(rng, jnp.zeros((1, 8, 69)), jnp.zeros((1, 8, 3)), q0)
+    return JointModel(mfiller=mf, mfiller_params=mfp, trajpred=tp,
+                      trajpred_params=tpp, smpl=smpl_syn)
+
+
 class TestLatentOptimization:
     """CVAE-in-the-loop latent optimization (flag_opt_motion_latent /
     flag_opt_traj_latent): gradients must reach the latents and the stage
     must run + reduce the loss."""
 
     def _tiny_joint_model(self, smpl_syn):
-        import jax
-        import jax.numpy as jnp
-        from glamr_tpu.models import JointModel, MotionInfillerVAE, TrajPredVAE
-        from glamr_tpu.models.configs import MotionInfillerConfig, TrajPredConfig, TransformerSpec
-
-        tf = TransformerSpec(nlayer=1, model_dim=32, nhead=2, ff_dim=64, dropout=0.0)
-        mcfg = MotionInfillerConfig(nz=4, past_nframe=2, cur_nframe=5, fut_nframe=2,
-                                    ctx_in_fc=32, ctx_transformer=tf,
-                                    enc_transformer=tf, dec_transformer=tf,
-                                    prior_transformer=tf, dec_out_mlp=(32,))
-        tcfg = TrajPredConfig(nz=4, seq_len=8, ctx_in_mlp=(32,), ctx_rnn_hdim=32,
-                              ctx_rnn_layers=1, ctx_out_mlp=(32,), enc_in_mlp=(32,),
-                              enc_rnn_hdim=32, enc_rnn_layers=1, enc_out_mlp=(32,),
-                              enc_fusion_mlp=(32,), dec_out_mlp=(32,),
-                              dec_prior_mlp=(32,))
-        mf = MotionInfillerVAE(mcfg)
-        tp = TrajPredVAE(tcfg)
-        rng = jax.random.PRNGKey(0)
-        W = mcfg.window_len
-        mfp = mf.init(rng, jnp.zeros((1, W, 69)), jnp.zeros((1, W, 69)), jnp.ones((1, W)))
-        q0 = jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, 8, 1))
-        tpp = tp.init(rng, jnp.zeros((1, 8, 69)), jnp.zeros((1, 8, 3)), q0)
-        return JointModel(mfiller=mf, mfiller_params=mfp, trajpred=tp,
-                          trajpred_params=tpp, smpl=smpl_syn)
+        return make_tiny_joint_model(smpl_syn)
 
     def test_latent_stage_runs_and_descends(self, in_dict, smpl_syn):
         jm = self._tiny_joint_model(smpl_syn)
@@ -518,3 +522,96 @@ class TestShardedSweep:
                 np.testing.assert_allclose(
                     a["person_data"][pid]["root_trans_world"],
                     b["person_data"][pid]["root_trans_world"], atol=1e-5)
+
+
+class TestRaggedSpanExactness:
+    """Batched span-rolled CVAE decode for persons whose exist span is
+    shorter than the video: frames beyond the span are zeroed and masked
+    out (reference pads overhanging windows with zeros + excluded
+    attention, motion_infiller_vae.py:571-586, and runs each person at its
+    own length), so the batched decode must (a) be invariant to pad
+    content and (b) match a solo decode at the person's true length."""
+
+    def _ragged_in_dict(self, T=25, e=15):
+        ind = make_synthetic_in_dict(np.random.default_rng(7), T=T,
+                                     persons=(True, True))
+        p1 = ind["est"][1]
+        exist = p1["bboxes_dict"]["exist"].astype(bool)
+        keep = np.where(exist)[0] < e  # per existing-row mask
+        for k in ["smpl_pose_quat_wroot", "smpl_beta", "root_trans",
+                  "kp_2d", "cam_K"]:
+            p1[k] = p1[k][keep]
+        exist[e:] = False
+        p1["bboxes_dict"]["exist"] = exist.astype(np.float32)
+        return ind, e
+
+    def _decode(self, opt, jm, ind, seed=3):
+        import jax.numpy as jnp
+        from glamr_tpu.recon.forward import cvae_pred
+
+        data = opt.init_data(ind, seed=seed)
+        params = {"motion_latent": data["params"]["motion_latent"],
+                  "traj_latent": data["params"]["traj_latent"]}
+        pose, traj = cvae_pred(params, data["const"], jm)
+        return data, np.asarray(pose), np.asarray(traj)
+
+    def test_pad_content_invariance(self, smpl_syn):
+        """Bit-exact: junk in the beyond-span region of the rolled inputs
+        must not change any within-span output."""
+        import jax.numpy as jnp
+        from glamr_tpu.recon.forward import cvae_pred
+
+        jm = make_tiny_joint_model(smpl_syn)
+        specs = {"flag_fixed_cam": True, "flag_infer_motion_traj": True}
+        opt = GlobalReconOptimizer(FakeCfg(STAGE, specs), joint_model=jm,
+                                   smpl=smpl_syn)
+        ind, e = self._ragged_in_dict()
+        data, pose_a, traj_a = self._decode(opt, jm, ind)
+
+        const = dict(data["const"])
+        T = pose_a.shape[1]
+        pad = (np.arange(T)[None, :] >=
+               np.asarray(const["span_len"])[:, None])
+        junk = np.where(pad[..., None], 777.0, np.asarray(const["in_pose_rolled"]))
+        const["in_pose_rolled"] = jnp.asarray(junk)
+        params = {"motion_latent": data["params"]["motion_latent"],
+                  "traj_latent": data["params"]["traj_latent"]}
+        pose_b, traj_b = cvae_pred(params, const, jm)
+        pose_b, traj_b = np.asarray(pose_b), np.asarray(traj_b)
+        assert np.array_equal(pose_a[1, :e], pose_b[1, :e])
+        assert np.array_equal(traj_a[1, :e], traj_b[1, :e])
+        assert np.array_equal(pose_a[0], pose_b[0])
+
+    def test_matches_solo_decode_at_true_length(self, smpl_syn):
+        """The short-span person's decode equals running that person alone
+        in a video of exactly its span length (up to fp tiling noise from
+        the different array shapes)."""
+        from glamr_tpu.models.motion_infiller import num_windows
+
+        jm = make_tiny_joint_model(smpl_syn)
+        specs = {"flag_fixed_cam": True, "flag_infer_motion_traj": True}
+        opt = GlobalReconOptimizer(FakeCfg(STAGE, specs), joint_model=jm,
+                                   smpl=smpl_syn)
+        ind, e = self._ragged_in_dict()
+        data, pose_j, traj_j = self._decode(opt, jm, ind)
+
+        # solo in_dict: person 1 only, video length = its span
+        solo = {"est": {0: ind["est"][1].copy()}, "gt": {}, "gt_meta": {},
+                "seq_name": "solo"}
+        solo["est"][0] = dict(solo["est"][0])
+        solo["est"][0]["bboxes_dict"] = {
+            "exist": ind["est"][1]["bboxes_dict"]["exist"][:e]}
+        data_s = opt.init_data(solo, seed=3)
+
+        import jax.numpy as jnp
+        from glamr_tpu.recon.forward import cvae_pred
+
+        L_solo = num_windows(jm.mfiller.cfg, e)
+        params_s = {
+            "motion_latent": data["params"]["motion_latent"][1:2, :L_solo],
+            "traj_latent": data["params"]["traj_latent"][1:2],
+        }
+        pose_s, traj_s = cvae_pred(params_s, data_s["const"], jm)
+        pose_s, traj_s = np.asarray(pose_s), np.asarray(traj_s)
+        assert np.abs(pose_j[1, :e] - pose_s[0, :e]).max() < 5e-3
+        assert np.abs(traj_j[1, :e] - traj_s[0, :e]).max() < 5e-3

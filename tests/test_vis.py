@@ -82,3 +82,31 @@ class TestGReconVisualizer:
                                  width=160, height=120)
             out = v.save_animation_as_video(str(tmp_path / f"{coord}.mp4"))
             assert os.path.getsize(out) > 0
+
+    def test_pinned_render_camera(self, tmp_path):
+        """Per-sequence render specs (reference vis_cfg.py): a pinned
+        cam_pos/cam_focus overrides auto-framing in world view."""
+        from glamr_tpu.vis.vis_cfg import get_render_spec
+
+        assert get_render_spec("unknown_sequence") is None
+        smpl = get_smpl("body26fk", synthetic=True)
+        T = 2
+        pd = {
+            "smpl_orient_world": np.zeros((T, 3), np.float32),
+            "smpl_pose": np.zeros((T, 69), np.float32),
+            "smpl_beta": np.zeros((T, 10), np.float32),
+            "root_trans_world": np.tile(np.array([0, 0, 0.9], np.float32), (T, 1)),
+            "visible": np.ones(T, np.float32),
+            "cam_K": np.tile(np.eye(3, dtype=np.float32), (T, 1, 1)),
+        }
+        eye4 = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
+        data = {"seq_len": T, "person_data": {0: pd},
+                "cam_pose": eye4, "cam_pose_inv": eye4}
+        v = GReconVisualizer(data, smpl=smpl, coord="world",
+                             cam_pos=(6.0, 0.1, 1.2), cam_focus=(0, 0, 0.8),
+                             width=160, height=120)
+        out = v.save_animation_as_video(str(tmp_path / "pinned.mp4"))
+        assert os.path.getsize(out) > 0
+        # the camera sits exactly at the pinned position
+        eye = -v.camera.pose[:3, :3].T @ v.camera.pose[:3, 3]
+        np.testing.assert_allclose(eye, [6.0, 0.1, 1.2], atol=1e-6)
