@@ -29,6 +29,12 @@ def main(argv=None):
                              "'cam_K', 'num_fr'} — runs the in-framework "
                              "lifter estimator (pose_est/estimator.py) "
                              "instead of the HybrIK subprocess")
+    parser.add_argument("--detect", action="store_true",
+                        help="run the fully in-framework stage 1 on "
+                             "--video_path: conv detector -> tracker -> "
+                             "lifter -> pose.pkl (pose_est/estimator.py "
+                             "video_pose_est) — no HybrIK, no external "
+                             "detector")
     parser.add_argument("--num_fr", type=int, default=150,
                         help="frames for --synthetic_pose_est without video")
     args = parser.parse_args(argv)
@@ -54,6 +60,12 @@ def main(argv=None):
     elif args.synthetic_pose_est:
         est = synthetic_pose_est(args.num_fr, num_persons=2 if args.multi else 1,
                                  pose_est_dir=pose_est_dir)
+    elif args.detect:
+        from ..pose_est.estimator import video_pose_est
+        from ..vis.video import _read_video
+
+        frames, _ = _read_video(args.video_path)
+        est = video_pose_est(frames, pose_est_dir=pose_est_dir)
     elif args.kp_file:
         from ..pose_est.estimator import run_lifter_on_tracks
 

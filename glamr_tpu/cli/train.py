@@ -43,7 +43,8 @@ def build_trajpred_batch(ds, rng, batch_size, smpl):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="motion_infiller",
-                        choices=["motion_infiller", "traj_pred", "lifter"])
+                        choices=["motion_infiller", "traj_pred", "lifter",
+                                 "detector"])
     parser.add_argument("--cfg", default=None)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
@@ -96,6 +97,7 @@ def main(argv=None):
         "motion_infiller": "motion_infiller_demo",
         "traj_pred": "traj_pred_demo",
         "lifter": "kp_lifter_demo",
+        "detector": "kp_detector_demo",
     }[args.model])
     seed = args.seed if args.seed is not None else cfg.get("seed", 1)
     epochs = args.epochs or int(cfg.get("max_epochs", 100))
@@ -175,6 +177,23 @@ def main(argv=None):
         gen_val = LifterDataGen(val_ds.data, smpl, seq_len=seq_len)
         make_batch = lambda r: gen_train.batch(r, batch_size)
         make_val = lambda r: gen_val.batch(r, batch_size)
+    elif args.model == "detector":
+        from ..pose_est.detector import (DetectorConfig,
+                                         PersonKeypointDetector,
+                                         init_detector)
+        from ..pose_est.synth_images import DetectorDataGen
+        from ..train import make_detector_eval_step, make_detector_train_step
+
+        dcfg = DetectorConfig.from_dict(cfg.model_specs)
+        model = PersonKeypointDetector(dcfg)
+        state = init_detector(model, tx, rng)
+        step_fn = make_detector_train_step(model, tx, cfg.loss_cfg, mesh)
+        eval_fn = make_detector_eval_step(model, cfg.loss_cfg, mesh)
+        gen_train = DetectorDataGen(train_ds.data, smpl, cfg=dcfg)
+        gen_val = DetectorDataGen(val_ds.data, smpl, cfg=dcfg)
+        make_batch = lambda r: gen_train.batch(r, batch_size)
+        make_val = lambda r: gen_val.batch(r, batch_size)
+        steps = args.steps_per_epoch or int(cfg.get("steps_per_epoch", 50))
     else:
         tcfg = TrajPredConfig.from_dict(cfg.model_specs, seq_len=seq_len)
         model = TrajPredVAE(tcfg)
@@ -191,7 +210,7 @@ def main(argv=None):
     make_batch_dev = None
     dev_keys = None
     if (args.device_data and cfg.get("pose_gaussian_smooth") is None
-            and ndev == 1 and args.model != "lifter"):
+            and ndev == 1 and args.model in ("motion_infiller", "traj_pred")):
         from ..data import DeviceSampler
         from ..train import make_trajpred_device_step
 

@@ -90,6 +90,117 @@ def lifter_pose_est(kp_2d: np.ndarray, cam_K: np.ndarray,
     }
 
 
+def load_detector(cfg_id: str = "kp_detector_demo", version: str = "last",
+                  cp: str = "best"):
+    """Resolve the latest trained detector checkpoint (same versioned-dir
+    convention as the CVAEs and the lifter)."""
+    import jax
+
+    from ..train.trainer import make_tx
+    from ..utils import Config
+    from ..utils.checkpoint import load_checkpoint
+    from ..utils.tools import find_last_version, get_checkpoint_path
+    from .detector import DetectorConfig, PersonKeypointDetector, init_detector
+
+    cfg = Config(cfg_id)
+    dcfg = DetectorConfig.from_dict(cfg.model_specs)
+    model = PersonKeypointDetector(dcfg)
+    base = os.path.join(cfg.get("results_root_dir", "results"), cfg.id)
+    v = find_last_version(base) if version == "last" else int(version)
+    cp_path = get_checkpoint_path(
+        os.path.join(base, f"version_{v}", "checkpoints"), cp)
+    state = init_detector(model, make_tx(1e-3), jax.random.PRNGKey(0))
+    state = load_checkpoint(cp_path, target=jax.device_get(state))
+    return model, state.params, cfg
+
+
+def detect_video(frames: np.ndarray, model, params,
+                 score_thresh: float = 0.3, batch: int = 16) -> list:
+    """Per-frame multi-person 2D detection over a whole video.
+
+    frames: (T, H, W, 3) uint8 or float [0,1]. Frames are letterboxed to
+    the detector's square input; keypoints are mapped back to original
+    pixels. Returns a list of per-frame detection dicts (host numpy) for
+    pose_est.tracker.track_detections.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .detector import decode_detections
+
+    c = model.cfg
+    T, H, W = frames.shape[:3]
+    scale = c.img_size / max(H, W)
+    nh, nw = int(round(H * scale)), int(round(W * scale))
+    import cv2
+
+    imgs = np.zeros((T, c.img_size, c.img_size, 3), np.float32)
+    f32 = frames.astype(np.float32)
+    if frames.dtype == np.uint8:
+        f32 /= 255.0
+    for t in range(T):
+        imgs[t, :nh, :nw] = cv2.resize(f32[t], (nw, nh))
+
+    @jax.jit
+    def run(batch_imgs):
+        out = model.apply(params, batch_imgs)
+        return decode_detections(out, c, score_thresh)
+
+    dets = []
+    pad_T = -(-T // batch) * batch
+    if pad_T != T:
+        imgs = np.concatenate([imgs, np.zeros((pad_T - T,) + imgs.shape[1:],
+                                              np.float32)])
+    for s in range(0, pad_T, batch):
+        d = jax.device_get(run(jnp.asarray(imgs[s: s + batch])))
+        for i in range(batch):
+            if s + i >= T:
+                break
+            dets.append({
+                "centers": d["centers"][i] / scale,
+                "kp_2d": d["kp_2d"][i] / scale,
+                "kp_conf": d["kp_conf"][i],
+                "scores": d["scores"][i],
+                "valid": d["valid"][i],
+            })
+    return dets
+
+
+def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
+                   detector=None, detector_params=None,
+                   lifter=None, lifter_params=None, smpl=None,
+                   score_thresh: float = 0.3,
+                   pose_est_dir: Optional[str] = None) -> dict:
+    """Fully in-framework stage 1: video frames -> pose.pkl.
+
+    detector (conv net) finds people + 2D keypoints per frame, the greedy
+    tracker links them into identities, and the keypoint lifter + analytic
+    IK regress SMPL pose — replacing the reference's external
+    FasterRCNN/YOLO+MPT+HybrIK stack (pose_est/run_pose_est_demo.py:25-28,
+    hybrik_demo/demo.py:114-142,238-265) end to end.
+
+    cam_K defaults to the reference's fixed-focal-1000 convention with the
+    principal point at the image center (hybrik_demo/demo.py:175-199).
+    """
+    from .tracker import track_detections
+
+    if detector is None or detector_params is None:
+        detector, detector_params, _ = load_detector()
+    if lifter is None or lifter_params is None:
+        lifter, lifter_params, _ = load_lifter()
+    T, H, W = frames.shape[:3]
+    if cam_K is None:
+        cam_K = np.array([[1000.0, 0, W / 2], [0, 1000.0, H / 2], [0, 0, 1]],
+                         np.float32)
+
+    dets = detect_video(frames, detector, detector_params,
+                        score_thresh=score_thresh)
+    tracks = track_detections(dets)
+    return run_lifter_on_tracks(tracks, cam_K, T, model=lifter,
+                                params=lifter_params, smpl=smpl,
+                                pose_est_dir=pose_est_dir)
+
+
 def run_lifter_on_tracks(tracks: dict, cam_K: np.ndarray, num_fr: int,
                          model=None, params=None, smpl=None,
                          pose_est_dir: Optional[str] = None) -> dict:

@@ -1,0 +1,101 @@
+"""Greedy multi-person track association.
+
+The reference tracks people with an external YOLOv3 + MPT tracker
+(hybrik_demo/demo.py:114-142) and carries identities via bboxes_dict.
+Here detections come from the in-framework detector (pose_est/
+detector.py); association is greedy nearest-center matching with a
+pixel gate and a miss tolerance — simple, deterministic, and sufficient
+for the smooth trajectories the detector produces. Output is the
+`tracks` dict consumed by pose_est.estimator.run_lifter_on_tracks.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class GreedyTracker:
+    """Frame-by-frame greedy association by center distance.
+
+    max_dist: matching gate in pixels (scaled by image size / 128).
+    max_miss: frames a track survives without a detection.
+    min_len:  tracks shorter than this are dropped at finalize().
+    """
+
+    def __init__(self, max_dist: float = 48.0, max_miss: int = 10,
+                 min_len: int = 5):
+        self.max_dist = max_dist
+        self.max_miss = max_miss
+        self.min_len = min_len
+        self._tracks: list[dict] = []
+        self._next_id = 0
+
+    def update(self, frame_idx: int, centers, kp_2d, kp_conf, scores):
+        """centers (D, 2), kp_2d (D, K, 2), kp_conf (D, K), scores (D,) —
+        valid detections of one frame."""
+        centers = np.asarray(centers, np.float32)
+        D = centers.shape[0]
+        active = [t for t in self._tracks
+                  if frame_idx - t["last_frame"] <= self.max_miss]
+        used_det = np.zeros(D, bool)
+
+        # greedy: repeatedly take the globally closest (track, det) pair
+        if active and D:
+            tc = np.stack([t["last_center"] for t in active])   # (A, 2)
+            dist = np.linalg.norm(tc[:, None] - centers[None], axis=-1)
+            used_tr = np.zeros(len(active), bool)
+            while True:
+                a, d = np.unravel_index(np.argmin(
+                    np.where(used_tr[:, None] | used_det[None], np.inf, dist)
+                ), dist.shape)
+                if used_tr[a] or used_det[d] or dist[a, d] > self.max_dist:
+                    break
+                t = active[a]
+                t["frames"].append(frame_idx)
+                t["kp_2d"].append(np.asarray(kp_2d[d], np.float32))
+                t["conf"].append(np.asarray(kp_conf[d], np.float32))
+                t["last_center"] = centers[d]
+                t["last_frame"] = frame_idx
+                used_tr[a] = used_det[d] = True
+                if used_tr.all() or used_det.all():
+                    break
+
+        for d in range(D):
+            if used_det[d]:
+                continue
+            self._tracks.append({
+                "id": self._next_id,
+                "frames": [frame_idx],
+                "kp_2d": [np.asarray(kp_2d[d], np.float32)],
+                "conf": [np.asarray(kp_conf[d], np.float32)],
+                "last_center": centers[d],
+                "last_frame": frame_idx,
+            })
+            self._next_id += 1
+
+    def finalize(self) -> dict:
+        """-> {person_id: {'frames' (Tv,), 'kp_2d' (Tv, K, 2),
+        'conf' (Tv, K)}} with ids renumbered by track start."""
+        tracks = [t for t in self._tracks if len(t["frames"]) >= self.min_len]
+        tracks.sort(key=lambda t: (t["frames"][0], t["id"]))
+        return {
+            pid: {
+                "frames": np.asarray(t["frames"], np.int64),
+                "kp_2d": np.stack(t["kp_2d"]),
+                "conf": np.stack(t["conf"]),
+            }
+            for pid, t in enumerate(tracks)
+        }
+
+
+def track_detections(dets_per_frame, **kwargs) -> dict:
+    """Convenience: list of per-frame decode_detections outputs (host
+    numpy, one dict per frame with 'centers', 'kp_2d', 'kp_conf',
+    'scores', 'valid') -> tracks dict."""
+    tr = GreedyTracker(**kwargs)
+    for fi, det in enumerate(dets_per_frame):
+        v = np.asarray(det["valid"], bool)
+        tr.update(fi, np.asarray(det["centers"])[v],
+                  np.asarray(det["kp_2d"])[v],
+                  np.asarray(det["kp_conf"])[v],
+                  np.asarray(det["scores"])[v])
+    return tr.finalize()

@@ -5,6 +5,8 @@ from .trainer import (
     make_trajpred_device_step,
     make_lifter_train_step,
     make_lifter_eval_step,
+    make_detector_train_step,
+    make_detector_eval_step,
     TrainState,
     make_infiller_train_step,
     make_trajpred_train_step,

@@ -267,6 +267,51 @@ def make_lifter_eval_step(model, loss_cfg: dict,
     return jax.jit(step, in_shardings=(repl, dp, repl), out_shardings=repl)
 
 
+def make_detector_train_step(model, tx, loss_cfg: dict,
+                             mesh: Optional[Mesh] = None):
+    """Train step for the person+keypoint detector (pose_est/detector.py).
+    batch: images (B,H,W,3) + gt_* CenterNet targets (DetectorDataGen)."""
+    from ..pose_est.detector import detector_loss_dict
+
+    def loss_fn(params, batch, rng):
+        out = model.apply(params, batch["images"], deterministic=False)
+        total, uw = weighted_total({**batch, **out}, loss_cfg,
+                                   detector_loss_dict)
+        return total, uw
+
+    def step(state: TrainState, batch, rng):
+        (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), {"loss": loss, **uw}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(step, donate_argnums=0,
+                   in_shardings=(repl, dp, repl), out_shardings=(repl, repl))
+
+
+def make_detector_eval_step(model, loss_cfg: dict,
+                            mesh: Optional[Mesh] = None):
+    from ..pose_est.detector import detector_loss_dict
+
+    def step(params, batch, rng):
+        out = model.apply(params, batch["images"])
+        total, uw = weighted_total({**batch, **out}, loss_cfg,
+                                   detector_loss_dict)
+        return {"loss": total, **uw}
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(step, in_shardings=(repl, dp, repl), out_shardings=repl)
+
+
 def make_trajpred_device_step(model: TrajPredVAE, tx, loss_cfg: dict, smpl):
     """Train step whose batch is the RAW device-sampler output (pose (B,T,72),
     trans (B,T,3), frame_loss_mask): joint positions (template FK) and the

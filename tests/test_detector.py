@@ -1,0 +1,201 @@
+"""In-framework 2D person+keypoint detector (pose_est/detector.py),
+synthetic render data (synth_images.py) and the greedy tracker
+(tracker.py) — the TPU-native replacement for the reference's external
+FasterRCNN / YOLO+MPT detection stack (hybrik_demo/demo.py:114-142,
+238-265)."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    from glamr_tpu.pose_est.detector import DetectorConfig
+
+    return DetectorConfig(img_size=64, base_ch=8, num_blocks=1, max_people=3)
+
+
+@pytest.fixture(scope="module")
+def datagen(tiny_cfg):
+    from glamr_tpu.body.smpl import get_smpl
+    from glamr_tpu.data import procedural_amass_data
+    from glamr_tpu.pose_est.synth_images import DetectorDataGen
+
+    smpl = get_smpl("body26fk", synthetic=True)
+    data, _, _, _ = procedural_amass_data(2, seed=0)
+    return DetectorDataGen(data, smpl, cfg=tiny_cfg)
+
+
+def test_datagen_targets(datagen, tiny_cfg):
+    rng = np.random.default_rng(0)
+    b = datagen.batch(rng, 2)
+    c = tiny_cfg
+    hm = c.hm_size
+    assert b["images"].shape == (2, c.img_size, c.img_size, 3)
+    assert b["images"].min() >= 0 and b["images"].max() <= 1
+    assert b["gt_center_hm"].shape == (2, hm, hm)
+    assert b["gt_kp_hm"].shape == (2, hm, hm, c.num_kp)
+    # every present person splats an exact-1 peak at its center cell
+    for i in range(2):
+        for p in range(c.max_people):
+            if b["gt_person_mask"][i, p] > 0:
+                cy, cx = b["gt_center_idx"][i, p]
+                assert b["gt_center_hm"][i, cy, cx] > 0.99
+    # offsets bounded by heatmap extent
+    assert np.abs(b["gt_kp_offset"]).max() < hm
+
+
+def test_detector_forward_and_decode(tiny_cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from glamr_tpu.pose_est.detector import (PersonKeypointDetector,
+                                             decode_detections)
+
+    model = PersonKeypointDetector(tiny_cfg)
+    img = jnp.zeros((2, tiny_cfg.img_size, tiny_cfg.img_size, 3))
+    params = model.init(jax.random.PRNGKey(0), img)
+    out = jax.jit(lambda p, x: model.apply(p, x))(params, img)
+    hm = tiny_cfg.hm_size
+    assert out["center_hm"].shape == (2, hm, hm)
+    assert out["kp_offset"].shape == (2, hm, hm, tiny_cfg.num_kp, 2)
+    assert out["kp_hm"].shape == (2, hm, hm, tiny_cfg.num_kp)
+    assert (out["center_hm"] >= 0).all() and (out["center_hm"] <= 1).all()
+
+    dec = jax.jit(lambda o: decode_detections(o, tiny_cfg))(out)
+    M = tiny_cfg.max_people
+    assert dec["centers"].shape == (2, M, 2)
+    assert dec["kp_2d"].shape == (2, M, tiny_cfg.num_kp, 2)
+    assert np.isfinite(np.asarray(dec["kp_2d"])).all()
+
+
+def test_decode_finds_planted_peak(tiny_cfg):
+    """Hand-crafted heads: one hot center, known offsets -> decoded
+    keypoints land exactly at center*stride + stride/2 + offset*stride."""
+    import jax.numpy as jnp
+
+    from glamr_tpu.pose_est.detector import decode_detections
+
+    c = tiny_cfg
+    hm = c.hm_size
+    center = np.zeros((1, hm, hm), np.float32)
+    cy, cx = 5, 9
+    center[0, cy, cx] = 0.9
+    off = np.zeros((1, hm, hm, c.num_kp, 2), np.float32)
+    off[0, cy, cx, :, 0] = 1.5   # x offset in cells
+    off[0, cy, cx, :, 1] = -0.5
+    out = {"center_hm": jnp.asarray(center),
+           "kp_offset": jnp.asarray(off),
+           "kp_hm": jnp.ones((1, hm, hm, c.num_kp), jnp.float32) * 0.8}
+    dec = decode_detections(out, c, score_thresh=0.5)
+    assert bool(dec["valid"][0, 0])
+    assert not bool(dec["valid"][0, 1])  # only one real peak
+    s = c.out_stride
+    np.testing.assert_allclose(dec["centers"][0, 0],
+                               [cx * s + s / 2, cy * s + s / 2])
+    np.testing.assert_allclose(dec["kp_2d"][0, 0, 0],
+                               [(cx + 1.5) * s + s / 2, (cy - 0.5) * s + s / 2])
+
+
+def test_focal_loss_decreases_with_better_pred():
+    from glamr_tpu.pose_est.detector import focal_heatmap_loss
+
+    gt = np.zeros((8, 8), np.float32)
+    gt[3, 3] = 1.0
+    bad = np.full((8, 8), 0.5, np.float32)
+    good = np.where(gt > 0.5, 0.9, 0.05).astype(np.float32)
+    assert float(focal_heatmap_loss(good, gt)) < float(focal_heatmap_loss(bad, gt))
+
+
+def test_detector_train_step_reduces_loss(datagen, tiny_cfg):
+    """A few dozen steps on one fixed batch must cut the loss (overfit
+    smoke — full training lives in the CLI)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glamr_tpu.pose_est.detector import (DEFAULT_DETECTOR_LOSS_CFG,
+                                             PersonKeypointDetector,
+                                             init_detector)
+    from glamr_tpu.train.trainer import make_detector_train_step, make_tx
+
+    rng = np.random.default_rng(1)
+    batch = datagen.batch(rng, 4)
+    keys = ("images", "gt_center_hm", "gt_kp_hm", "gt_center_idx",
+            "gt_kp_offset", "gt_kp_vis", "gt_person_mask")
+    tb = {k: jnp.asarray(batch[k]) for k in keys}
+
+    model = PersonKeypointDetector(tiny_cfg)
+    tx = make_tx(2e-3)
+    state = init_detector(model, tx, jax.random.PRNGKey(0))
+    step = make_detector_train_step(model, tx, DEFAULT_DETECTOR_LOSS_CFG)
+    first = None
+    for i in range(30):
+        state, m = step(state, tb, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert np.isfinite(last)
+    assert last < first
+
+
+def test_tracker_crossing_tracks():
+    """Two persons moving horizontally in opposite directions keep their
+    identities through the crossing (greedy nearest-center with gate)."""
+    from glamr_tpu.pose_est.tracker import GreedyTracker
+
+    T, K = 30, 24
+    tr = GreedyTracker(max_dist=20.0, min_len=5)
+    for t in range(T):
+        xa = 10.0 + 4 * t          # person A: left -> right
+        xb = 130.0 - 4 * t         # person B: right -> left
+        centers = np.array([[xa, 50.0], [xb, 60.0]], np.float32)
+        kp = np.tile(centers[:, None], (1, K, 1))
+        conf = np.ones((2, K), np.float32)
+        tr.update(t, centers, kp, conf, np.array([0.9, 0.9]))
+    tracks = tr.finalize()
+    assert len(tracks) == 2
+    for pid, t in tracks.items():
+        assert t["frames"].shape[0] == T
+        xs = t["kp_2d"][:, 0, 0]
+        d = np.diff(xs)
+        # monotone motion throughout => identity held through the crossing
+        assert (d > 0).all() or (d < 0).all()
+
+
+def test_tracker_miss_tolerance_and_min_len():
+    from glamr_tpu.pose_est.tracker import GreedyTracker
+
+    tr = GreedyTracker(max_dist=20.0, max_miss=3, min_len=5)
+    K = 24
+    for t in range(12):
+        if t in (4, 5):  # two-frame dropout, within max_miss
+            continue
+        c = np.array([[50.0 + t, 50.0]], np.float32)
+        tr.update(t, c, np.tile(c[:, None], (1, K, 1)),
+                  np.ones((1, K), np.float32), np.array([0.9]))
+    # a 2-frame flicker track that should be dropped by min_len
+    for t in (20, 21):
+        c = np.array([[200.0, 200.0]], np.float32)
+        tr.update(t, c, np.tile(c[:, None], (1, K, 1)),
+                  np.ones((1, K), np.float32), np.array([0.9]))
+    tracks = tr.finalize()
+    assert len(tracks) == 1
+    assert tracks[0]["frames"].shape[0] == 10  # survived the dropout
+
+
+def test_detect_video_shapes(tiny_cfg):
+    """detect_video letterboxes arbitrary frame sizes and maps keypoints
+    back to original pixels."""
+    import jax
+
+    from glamr_tpu.pose_est.detector import PersonKeypointDetector, init_detector
+    from glamr_tpu.pose_est.estimator import detect_video
+    from glamr_tpu.train.trainer import make_tx
+
+    model = PersonKeypointDetector(tiny_cfg)
+    state = init_detector(model, make_tx(1e-3), jax.random.PRNGKey(0))
+    frames = (np.random.default_rng(0).uniform(
+        0, 255, (5, 120, 160, 3))).astype(np.uint8)
+    dets = detect_video(frames, model, state.params, score_thresh=2.0)
+    assert len(dets) == 5
+    assert dets[0]["kp_2d"].shape == (tiny_cfg.max_people, tiny_cfg.num_kp, 2)
+    assert not dets[0]["valid"].any()  # threshold 2.0 rejects everything
