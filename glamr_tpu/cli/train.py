@@ -72,12 +72,19 @@ def main(argv=None):
     parser.add_argument("--profile", default=None,
                         help="write a jax.profiler trace to this directory "
                              "(the reference's --profiler flag analog)")
+    parser.add_argument("--precision", default="f32",
+                        choices=["f32", "bf16"],
+                        help="compute precision (the reference's pl.Trainer "
+                             "precision flag, train.py:28): bf16 casts "
+                             "params+activations for MXU matmuls; master "
+                             "params, grads, and losses stay f32")
     args = parser.parse_args(argv)
 
     import jax
 
     if args.debug:
         jax.config.update("jax_debug_nans", True)
+    import jax.numpy as jnp
     import numpy as np
 
     from ..body.smpl import get_smpl
@@ -153,13 +160,16 @@ def main(argv=None):
     tx = make_tx(lr, clip)
     rng = jax.random.PRNGKey(seed)
     smpl = get_smpl("body26fk")
+    cdtype = {"f32": None, "bf16": jnp.bfloat16}[args.precision]
 
     if args.model == "motion_infiller":
         mcfg = MotionInfillerConfig.from_dict(cfg.model_specs)
         model = MotionInfillerVAE(mcfg)
         state = init_infiller(model, tx, rng)
-        step_fn = make_infiller_train_step(model, tx, cfg.loss_cfg, mesh)
-        eval_fn = make_infiller_eval_step(model, cfg.loss_cfg, mesh)
+        step_fn = make_infiller_train_step(model, tx, cfg.loss_cfg, mesh,
+                                           compute_dtype=cdtype)
+        eval_fn = make_infiller_eval_step(model, cfg.loss_cfg, mesh,
+                                          compute_dtype=cdtype)
         make_batch = lambda r: build_infiller_batch(train_ds, r, batch_size)
         make_val = lambda r: build_infiller_batch(val_ds, r, batch_size)
     elif args.model == "lifter":
@@ -171,8 +181,10 @@ def main(argv=None):
         lcfg = LifterConfig.from_dict(cfg.model_specs)
         model = KeypointLifter(lcfg)
         state = init_lifter(model, tx, rng, seq_len=seq_len)
-        step_fn = make_lifter_train_step(model, tx, cfg.loss_cfg, mesh)
-        eval_fn = make_lifter_eval_step(model, cfg.loss_cfg, mesh)
+        step_fn = make_lifter_train_step(model, tx, cfg.loss_cfg, mesh,
+                                         compute_dtype=cdtype)
+        eval_fn = make_lifter_eval_step(model, cfg.loss_cfg, mesh,
+                                        compute_dtype=cdtype)
         gen_train = LifterDataGen(train_ds.data, smpl, seq_len=seq_len)
         gen_val = LifterDataGen(val_ds.data, smpl, seq_len=seq_len)
         make_batch = lambda r: gen_train.batch(r, batch_size)
@@ -187,8 +199,10 @@ def main(argv=None):
         dcfg = DetectorConfig.from_dict(cfg.model_specs)
         model = PersonKeypointDetector(dcfg)
         state = init_detector(model, tx, rng)
-        step_fn = make_detector_train_step(model, tx, cfg.loss_cfg, mesh)
-        eval_fn = make_detector_eval_step(model, cfg.loss_cfg, mesh)
+        step_fn = make_detector_train_step(model, tx, cfg.loss_cfg, mesh,
+                                           compute_dtype=cdtype)
+        eval_fn = make_detector_eval_step(model, cfg.loss_cfg, mesh,
+                                          compute_dtype=cdtype)
         gen_train = DetectorDataGen(train_ds.data, smpl, cfg=dcfg)
         gen_val = DetectorDataGen(val_ds.data, smpl, cfg=dcfg)
         make_batch = lambda r: gen_train.batch(r, batch_size)
@@ -198,8 +212,10 @@ def main(argv=None):
         tcfg = TrajPredConfig.from_dict(cfg.model_specs, seq_len=seq_len)
         model = TrajPredVAE(tcfg)
         state = init_trajpred(model, tx, rng, seq_len=seq_len)
-        step_fn = make_trajpred_train_step(model, tx, cfg.loss_cfg, mesh)
-        eval_fn = make_trajpred_eval_step(model, cfg.loss_cfg, mesh)
+        step_fn = make_trajpred_train_step(model, tx, cfg.loss_cfg, mesh,
+                                           compute_dtype=cdtype)
+        eval_fn = make_trajpred_eval_step(model, cfg.loss_cfg, mesh,
+                                          compute_dtype=cdtype)
         make_batch = lambda r: build_trajpred_batch(train_ds, r, batch_size, smpl)
         make_val = lambda r: build_trajpred_batch(val_ds, r, batch_size, smpl)
 
@@ -223,7 +239,8 @@ def main(argv=None):
             # jitted step (make_trajpred_device_step)
             mask_spec = None
             dev_keys = ("pose", "trans", "frame_loss_mask")
-            step_fn = make_trajpred_device_step(model, tx, cfg.loss_cfg, smpl)
+            step_fn = make_trajpred_device_step(model, tx, cfg.loss_cfg, smpl,
+                                                compute_dtype=cdtype)
         make_batch_dev = lambda key: dsd.sample_batch(
             key, batch_size, seq_len, mask_spec)
         log.info("using device-resident batch sampling")

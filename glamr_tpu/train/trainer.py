@@ -37,6 +37,35 @@ def make_tx(lr: float, clip: float = 5.0) -> optax.GradientTransformation:
     )
 
 
+def _cast_floats(tree, dtype):
+    """Cast floating-point leaves to dtype; everything else untouched."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def mixed_precision(apply_fn, compute_dtype):
+    """Mixed-precision policy around a flax apply: params and float inputs
+    are cast to compute_dtype (bf16 matmuls on the MXU), outputs cast back
+    to f32 so losses/KL accumulate in f32. Master params and Adam state
+    stay f32 (grads flow through the casts and land in f32). TPU-native
+    analog of the reference's pl.Trainer precision flag
+    (motion_infiller/train.py:28,123).
+    """
+    if compute_dtype is None:
+        return apply_fn
+
+    def wrapped(params, *inputs, **kwargs):
+        out = apply_fn(_cast_floats(params, compute_dtype),
+                       *_cast_floats(inputs, compute_dtype), **kwargs)
+        return _cast_floats(out, jnp.float32)
+
+    return wrapped
+
+
 # ------------------------------------------------------------------ infiller
 
 def init_infiller(model: MotionInfillerVAE, tx, rng, batch_size=2):
@@ -48,15 +77,18 @@ def init_infiller(model: MotionInfillerVAE, tx, rng, batch_size=2):
 
 
 def make_infiller_train_step(model: MotionInfillerVAE, tx, loss_cfg: dict,
-                             mesh: Optional[Mesh] = None):
+                             mesh: Optional[Mesh] = None,
+                             compute_dtype=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: in_body_pose/gt_body_pose (B, W, 69), frame_mask (B, W).
+    compute_dtype=jnp.bfloat16 enables mixed-precision compute.
     """
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def loss_fn(params, batch, rng):
         sample_rng, drop_rng = jax.random.split(rng)
-        out = model.apply(
+        out = apply_fn(
             params, batch["in_body_pose"], batch["gt_body_pose"],
             batch["frame_mask"], rng=sample_rng, deterministic=False,
             rngs={"dropout": drop_rng},
@@ -85,11 +117,13 @@ def make_infiller_train_step(model: MotionInfillerVAE, tx, loss_cfg: dict,
 
 
 def make_infiller_eval_step(model: MotionInfillerVAE, loss_cfg: dict,
-                            mesh: Optional[Mesh] = None):
+                            mesh: Optional[Mesh] = None,
+                            compute_dtype=None):
     """Loss-only step (no update, no buffer donation) for validation."""
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def step(params, batch, rng):
-        out = model.apply(
+        out = apply_fn(
             params, batch["in_body_pose"], batch["gt_body_pose"],
             batch["frame_mask"], rng=None,
         )
@@ -115,13 +149,15 @@ def init_trajpred(model: TrajPredVAE, tx, rng, batch_size=2, seq_len=16):
 
 
 def make_trajpred_train_step(model: TrajPredVAE, tx, loss_cfg: dict,
-                             mesh: Optional[Mesh] = None):
+                             mesh: Optional[Mesh] = None,
+                             compute_dtype=None):
     """batch: joint_pos (B,T,69), trans (B,T,3), orient_q (B,T,4),
     optional frame_loss_mask (B,T)."""
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def loss_fn(params, batch, rng):
         sample_rng, drop_rng = jax.random.split(rng)
-        out = model.apply(
+        out = apply_fn(
             params, batch["joint_pos"], batch["trans"], batch["orient_q"],
             rng=sample_rng, rngs={"dropout": drop_rng},
         )
@@ -149,11 +185,13 @@ def make_trajpred_train_step(model: TrajPredVAE, tx, loss_cfg: dict,
 
 
 def make_trajpred_eval_step(model: TrajPredVAE, loss_cfg: dict,
-                            mesh: Optional[Mesh] = None):
+                            mesh: Optional[Mesh] = None,
+                            compute_dtype=None):
     """Loss-only step (no update, no buffer donation) for validation."""
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def step(params, batch, rng):
-        out = model.apply(
+        out = apply_fn(
             params, batch["joint_pos"], batch["trans"], batch["orient_q"],
             rng=None,
         )
@@ -195,12 +233,13 @@ def make_multistep(step_fn_core, K: int):
 
 
 def make_infiller_multistep(model: MotionInfillerVAE, tx, loss_cfg: dict,
-                            K: int):
+                            K: int, compute_dtype=None):
     """K-step fused infiller trainer: (state, batches (K,B,...), rng)."""
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def loss_fn(params, batch, rng):
         sample_rng, drop_rng = jax.random.split(rng)
-        out = model.apply(
+        out = apply_fn(
             params, batch["in_body_pose"], batch["gt_body_pose"],
             batch["frame_mask"], rng=sample_rng, deterministic=False,
             rngs={"dropout": drop_rng},
@@ -222,13 +261,15 @@ def make_infiller_multistep(model: MotionInfillerVAE, tx, loss_cfg: dict,
 # -------------------------------------------------------------- kp lifter
 
 def make_lifter_train_step(model, tx, loss_cfg: dict,
-                           mesh: Optional[Mesh] = None):
+                           mesh: Optional[Mesh] = None,
+                           compute_dtype=None):
     """Train step for the keypoint lifter (pose_est/lifter.py).
     batch: kp_2d (B,T,K,2), vis (B,T,K), gt_* targets (see LifterDataGen)."""
     from ..pose_est.lifter import lifter_loss_dict
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def loss_fn(params, batch, rng):
-        out = model.apply(params, batch["kp_2d"], batch["vis"],
+        out = apply_fn(params, batch["kp_2d"], batch["vis"],
                           deterministic=False, rngs={"dropout": rng})
         total, uw = weighted_total({**batch, **out}, loss_cfg,
                                    lifter_loss_dict)
@@ -251,11 +292,13 @@ def make_lifter_train_step(model, tx, loss_cfg: dict,
 
 
 def make_lifter_eval_step(model, loss_cfg: dict,
-                          mesh: Optional[Mesh] = None):
+                          mesh: Optional[Mesh] = None,
+                          compute_dtype=None):
     from ..pose_est.lifter import lifter_loss_dict
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def step(params, batch, rng):
-        out = model.apply(params, batch["kp_2d"], batch["vis"])
+        out = apply_fn(params, batch["kp_2d"], batch["vis"])
         total, uw = weighted_total({**batch, **out}, loss_cfg,
                                    lifter_loss_dict)
         return {"loss": total, **uw}
@@ -268,13 +311,15 @@ def make_lifter_eval_step(model, loss_cfg: dict,
 
 
 def make_detector_train_step(model, tx, loss_cfg: dict,
-                             mesh: Optional[Mesh] = None):
+                             mesh: Optional[Mesh] = None,
+                             compute_dtype=None):
     """Train step for the person+keypoint detector (pose_est/detector.py).
     batch: images (B,H,W,3) + gt_* CenterNet targets (DetectorDataGen)."""
     from ..pose_est.detector import detector_loss_dict
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def loss_fn(params, batch, rng):
-        out = model.apply(params, batch["images"], deterministic=False)
+        out = apply_fn(params, batch["images"], deterministic=False)
         total, uw = weighted_total({**batch, **out}, loss_cfg,
                                    detector_loss_dict)
         return total, uw
@@ -296,11 +341,13 @@ def make_detector_train_step(model, tx, loss_cfg: dict,
 
 
 def make_detector_eval_step(model, loss_cfg: dict,
-                            mesh: Optional[Mesh] = None):
+                            mesh: Optional[Mesh] = None,
+                            compute_dtype=None):
     from ..pose_est.detector import detector_loss_dict
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def step(params, batch, rng):
-        out = model.apply(params, batch["images"])
+        out = apply_fn(params, batch["images"])
         total, uw = weighted_total({**batch, **out}, loss_cfg,
                                    detector_loss_dict)
         return {"loss": total, **uw}
@@ -312,18 +359,20 @@ def make_detector_eval_step(model, loss_cfg: dict,
     return jax.jit(step, in_shardings=(repl, dp, repl), out_shardings=repl)
 
 
-def make_trajpred_device_step(model: TrajPredVAE, tx, loss_cfg: dict, smpl):
+def make_trajpred_device_step(model: TrajPredVAE, tx, loss_cfg: dict, smpl,
+                              compute_dtype=None):
     """Train step whose batch is the RAW device-sampler output (pose (B,T,72),
     trans (B,T,3), frame_loss_mask): joint positions (template FK) and the
     orientation quaternion are derived on-device inside the step, so the
     whole trajectory-predictor data path needs no host work."""
     from ..transforms import angle_axis_to_quaternion
+    apply_fn = mixed_precision(model.apply, compute_dtype)
 
     def loss_fn(params, batch, rng):
         sample_rng, drop_rng = jax.random.split(rng)
         joint_pos = smpl.joint_pos_from_body_pose(batch["pose"][..., 3:])
         orient_q = angle_axis_to_quaternion(batch["pose"][..., :3])
-        out = model.apply(
+        out = apply_fn(
             params, joint_pos, batch["trans"], orient_q,
             rng=sample_rng, rngs={"dropout": drop_rng},
         )

@@ -117,6 +117,41 @@ class TestTrainSteps:
         state, metrics = step(state, batch, replicate(rng, mesh8))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_infiller_bf16_mixed_precision(self, mesh8):
+        """bf16 compute policy: training still converges, and the first-step
+        loss matches f32 to bf16 resolution (master params/losses are f32)."""
+        model = MotionInfillerVAE(MCFG)
+        tx = make_tx(1e-3)
+        loss_cfg = {"mse": {"weight": 1.0},
+                    "vae_z_kld": {"weight": 1e-3, "min_clip": 0.0}}
+        rng = jax.random.PRNGKey(0)
+        B, W = 16, MCFG.window_len
+        gt = np.random.default_rng(0).normal(0, 0.3, (B, W, 69)).astype(np.float32)
+        batch = shard_batch({
+            "in_body_pose": gt.copy(), "gt_body_pose": gt,
+            "frame_mask": np.ones((B, W), np.float32),
+        }, mesh8)
+
+        losses = {}
+        for name, cdtype in [("f32", None), ("bf16", jnp.bfloat16)]:
+            state = replicate(init_infiller(model, tx, rng), mesh8)
+            step = make_infiller_train_step(model, tx, loss_cfg, mesh8,
+                                            compute_dtype=cdtype)
+            ls = []
+            for i in range(8):
+                state, metrics = step(
+                    state, batch, replicate(jax.random.PRNGKey(i), mesh8))
+                ls.append(float(metrics["loss"]))
+            losses[name] = ls
+            # params stay f32 regardless of compute dtype
+            leaf = jax.tree.leaves(state.params)[0]
+            assert leaf.dtype == jnp.float32
+        assert all(np.isfinite(losses["bf16"]))
+        assert losses["bf16"][-1] < losses["bf16"][0]
+        # same init, same data: first-step losses agree to bf16 tolerance
+        assert abs(losses["bf16"][0] - losses["f32"][0]) < 0.05 * max(
+            1.0, abs(losses["f32"][0]))
+
 
 class TestNativeSampler:
     def test_native_matches_semantics(self):
