@@ -72,6 +72,13 @@ def main(argv=None):
     parser.add_argument("--profile", default=None,
                         help="write a jax.profiler trace to this directory "
                              "(the reference's --profiler flag analog)")
+    parser.add_argument("--wandb_project", default=None,
+                        help="log metrics to this wandb project when the "
+                             "package is available (reference projects "
+                             "GLAMR.motion_infiller / GLAMR.traj_pred)")
+    parser.add_argument("--tensorboard", type=int, default=1,
+                        help="write TensorBoard event files under the run "
+                             "dir (0 disables)")
     parser.add_argument("--precision", default="f32",
                         choices=["f32", "bf16"],
                         help="compute precision (the reference's pl.Trainer "
@@ -98,6 +105,7 @@ def main(argv=None):
     from ..train.trainer import make_tx
     from ..utils import Config, create_logger
     from ..utils.checkpoint import load_checkpoint, save_checkpoint
+    from ..utils.log_utils import MetricsLogger
     from ..utils.tools import find_last_version
 
     cfg = Config(args.cfg or {
@@ -121,6 +129,9 @@ def main(argv=None):
     os.makedirs(cp_dir, exist_ok=True)
     log = create_logger(os.path.join(run_dir, "log.txt"))
     log.info(f"training {args.model} ({cfg.id}) -> {run_dir}")
+    mlog = MetricsLogger(run_dir, use_tb=bool(args.tensorboard),
+                         wandb_project=args.wandb_project,
+                         wandb_run_name=f"{cfg.id}_v{version}")
 
     # data
     if args.synthetic_data:
@@ -270,6 +281,7 @@ def main(argv=None):
             state, metrics = step_fn(state, batch, replicate(sub, mesh))
             train_loss += float(metrics["loss"])
         train_loss /= steps
+        train_terms = {f"train/{k}": float(v) for k, v in metrics.items()}
 
         # quick val pass (posterior-mode loss on held-out windows)
         vbatch = shard_batch(make_val(np_rng), mesh)
@@ -281,6 +293,11 @@ def main(argv=None):
         eta = dt * (epochs - epoch - 1)
         log.info(f"epoch {epoch:4d}/{epochs} | train {train_loss:.4f} | "
                  f"val {val_loss:.4f} | {dt:.1f}s/epoch | ETA {eta/60:.1f}m")
+        mlog.log_scalars(epoch, {
+            "train/loss_epoch": train_loss, **train_terms,
+            **{f"val/{k}": float(v) for k, v in vmetrics.items()},
+            "time/sec_per_epoch": dt,
+        })
 
         host_state = jax.device_get(state)
         if val_loss < best_val:
@@ -298,6 +315,7 @@ def main(argv=None):
     if args.profile:
         jax.profiler.stop_trace()
         log.info(f"profiler trace written to {args.profile}")
+    mlog.close()
     log.info(f"done in {(time.time()-t_start)/60:.1f}m; best val {best_val:.4f}")
     return state
 

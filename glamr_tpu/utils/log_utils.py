@@ -27,6 +27,50 @@ def create_logger(filename: Optional[str] = None, file_handle: bool = True,
     return log
 
 
+class MetricsLogger:
+    """Scalar-metrics fan-out: TensorBoard event files + wandb when the
+    package is importable (the reference's three-logger stack —
+    TensorBoardLogger + WandbLogger + TextLogger, motion_infiller/
+    train.py:73-89; the text half is the `create_logger` console/file
+    logger the training CLI already writes through)."""
+
+    def __init__(self, run_dir: str, use_tb: bool = True,
+                 wandb_project: Optional[str] = None,
+                 wandb_run_name: Optional[str] = None):
+        self.tb = None
+        if use_tb:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(os.path.join(run_dir, "tb"))
+            except Exception:
+                self.tb = None
+        self.wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(project=wandb_project,
+                                        name=wandb_run_name, dir=run_dir)
+            except Exception:
+                self.wandb = None
+
+    def log_scalars(self, step: int, scalars: dict):
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, float(v), step)
+        if self.wandb is not None:
+            self.wandb.log({k: float(v) for k, v in scalars.items()},
+                           step=step)
+
+    def close(self):
+        if self.tb is not None:
+            self.tb.flush()
+            self.tb.close()
+        if self.wandb is not None:
+            self.wandb.finish()
+
+
 def convert_sec_to_time(secs: float) -> str:
     m, s = divmod(int(secs), 60)
     h, m = divmod(m, 60)

@@ -221,6 +221,11 @@ class TestTrainCLI:
                         recursive=True)
         assert cps, "no checkpoint written"
         train_cli.main(argv + ["--resume", cps[0]])
+        # TensorBoard event files written per run (reference logger stack,
+        # train.py:73-89)
+        evs = glob.glob(str(tmp_path / "results" / "**" / "tb" / "events.*"),
+                        recursive=True)
+        assert evs, "no tensorboard events written"
 
 
 class TestMultistep:
