@@ -1,0 +1,103 @@
+"""Precompile stage programs into the persistent XLA compile cache.
+
+Cold-start compile of a recon stage schedule is the dominant latency for
+a fresh deployment (minutes over a tunneled TPU; seconds warm). The
+compiled program depends only on static shapes — the (persons, frames)
+bucket — and the config's stage schedule, NOT on data values, so warming
+the cache with synthetic estimates of the production shape buckets makes
+every subsequent run_demo / run_dataset sweep start warm.
+
+Typical production prep (one-off per deployment / config change):
+
+    python -m glamr_tpu.cli.warmup --cfg glamr_static,glamr_static_multi \
+        --num_fr 300,900 --persons 1,2 --pad_to 100
+
+The reference has no equivalent (PyTorch eager pays per-iteration
+dispatch instead of a one-off compile, global_recon_model.py:547-570).
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", default="glamr_static",
+                        help="comma-separated config ids (or 'all' for the "
+                             "six shipped grecon configs)")
+    parser.add_argument("--num_fr", default="900",
+                        help="comma-separated sequence lengths (bucket "
+                             "upper bounds) to compile for")
+    parser.add_argument("--persons", default="1,2",
+                        help="comma-separated person counts")
+    parser.add_argument("--pad_to", type=int, default=0,
+                        help="bucket granularity applied to each num_fr "
+                             "(same value production sweeps will pass)")
+    parser.add_argument("--multi_seed", type=int, default=0,
+                        help="also compile the vmapped multi-seed program "
+                             "for this many seeds (0 = skip)")
+    parser.add_argument("--cache_dir", default="/root/.cache/jax")
+    parser.add_argument("--opt_niters", type=int, default=0,
+                        help="override every stage's iteration count. The "
+                             "scan length is baked into the compiled "
+                             "program, so this warms a DIFFERENT program "
+                             "than production — smoke-testing only")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from ..models import load_joint_model
+    from ..pose_est import synthetic_pose_est
+    from ..recon import GlobalReconOptimizer
+    from ..utils import Config, create_logger
+
+    log = create_logger()
+    all_cfgs = ["glamr_static", "glamr_dynamic", "glamr_static_multi",
+                "glamr_dynamic_multi", "glamr_3dpw", "glamr_h36m"]
+    cfg_ids = all_cfgs if args.cfg == "all" else args.cfg.split(",")
+    lengths = [int(t) for t in str(args.num_fr).split(",")]
+    person_counts = [int(p) for p in str(args.persons).split(",")]
+
+    for cfg_id in cfg_ids:
+        cfg = Config(cfg_id)
+        if args.opt_niters:
+            for ss in cfg.opt_stage_specs.values():
+                ss["opt_niters"] = args.opt_niters
+        joint_model = None
+        specs = cfg.get("grecon_model_specs", {})
+        if specs.get("flag_infer_motion_traj") and "motion_traj_cfg" in specs:
+            try:
+                joint_model = load_joint_model(
+                    Config(specs["motion_traj_cfg"]))
+            except FileNotFoundError as e:
+                log.info(f"{cfg_id}: joint model unavailable ({e}); "
+                         f"warming the est-derived-traj path")
+        opt = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log)
+        for P, T in itertools.product(person_counts, lengths):
+            est = synthetic_pose_est(T, num_persons=P, seed=0)
+            in_dict = {"est": est, "gt": {}, "gt_meta": {},
+                       "seq_name": f"warmup_P{P}_T{T}"}
+            t0 = time.time()
+            opt.optimize(in_dict, pad_to=args.pad_to)
+            log.info(f"{cfg_id} P={P} T={T} pad_to={args.pad_to}: "
+                     f"compiled+ran in {time.time() - t0:.1f}s")
+            if args.multi_seed:
+                t0 = time.time()
+                opt.optimize_multi_seed(
+                    in_dict, seeds=list(range(args.multi_seed)),
+                    pad_to=args.pad_to)
+                log.info(f"{cfg_id} P={P} T={T} x{args.multi_seed} seeds "
+                         f"(vmapped): compiled+ran in {time.time() - t0:.1f}s")
+    size = sum(os.path.getsize(os.path.join(r, f))
+               for r, _, fs in os.walk(args.cache_dir) for f in fs)
+    log.info(f"compile cache at {args.cache_dir}: {size / 1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    main()

@@ -253,3 +253,18 @@ def test_run_demo_lifter_kp_file(tmp_path, monkeypatch):
     out = outs[1]
     assert np.isfinite(np.asarray(out["person_data"][0]["root_trans_world"])).all()
     assert (tmp_path / "demo_out" / "pose_est" / "synthetic" / "pose.pkl").exists()
+
+
+def test_warmup_cli(tmp_path, monkeypatch):
+    """Warmup CLI populates the persistent compile cache for a config +
+    shape bucket (tiny niters override — smoke path only)."""
+    from glamr_tpu.cli import warmup
+
+    monkeypatch.chdir(tmp_path)
+    cache = tmp_path / "xla_cache"
+    warmup.main([
+        "--cfg", "glamr_static", "--num_fr", "20", "--persons", "1",
+        "--opt_niters", "2", "--cache_dir", str(cache),
+    ])
+    cached = [f for _, _, fs in os.walk(cache) for f in fs]
+    assert cached, "no compiled programs written to the cache"
