@@ -72,6 +72,12 @@ def main(argv=None):
     parser.add_argument("--profile", default=None,
                         help="write a jax.profiler trace to this directory "
                              "(the reference's --profiler flag analog)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host SPMD: call "
+                             "jax.distributed.initialize() before device "
+                             "discovery so the ('dp',) mesh spans all hosts "
+                             "(gradient all-reduce rides ICI within a slice "
+                             "and DCN across slices — the NCCL-DDP analog)")
     parser.add_argument("--wandb_project", default=None,
                         help="log metrics to this wandb project when the "
                              "package is available (reference projects "
@@ -89,6 +95,11 @@ def main(argv=None):
 
     import jax
 
+    if args.multihost:
+        # one process per host; jax.devices() then spans the whole slice
+        # and the same jitted step runs SPMD everywhere (SURVEY §2.9 —
+        # replaces torch.distributed/NCCL process groups)
+        jax.distributed.initialize()
     if args.debug:
         jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
