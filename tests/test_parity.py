@@ -254,3 +254,148 @@ class TestGRUPortParity:
         cell_f = nn.GRUCell(8)
         (new_h, _) = cell_f.apply(params, jnp.asarray(h), jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(new_h), out_t, atol=1e-5)
+
+
+class TestTransformParity:
+    """Value-level parity of the foundation math (C1-C3) against the
+    reference torch implementations: rotation conversions
+    (konia_transform), quat/heading/6D algebra + Procrustes
+    (torch_transform), and the 11-D local-heading trajectory codec
+    (traj_pred/utils/traj_utils.py)."""
+
+    @pytest.fixture(scope="class")
+    def ref_mods(self, ref_env):
+        import lib.utils.konia_transform as kt
+        import lib.utils.torch_transform as tt
+        from traj_pred.utils import traj_utils as ref_traj
+
+        return kt, tt, ref_traj
+
+    def _aa(self, n=64, scale=2.0, seed=0):
+        rng = np.random.default_rng(seed)
+        aa = rng.normal(0, scale, (n, 3)).astype(np.float32)
+        # include exact zeros and near-pi magnitudes
+        aa[0] = 0.0
+        aa[1] = [np.pi - 1e-4, 0, 0]
+        return aa
+
+    def test_rotation_conversions(self, ref_mods):
+        import jax.numpy as jnp
+
+        from glamr_tpu import transforms as gt
+
+        kt, tt, _ = ref_mods
+        aa = self._aa()
+        t_aa = torch.from_numpy(aa)
+
+        R_ref = kt.angle_axis_to_rotation_matrix(t_aa).numpy()
+        R = np.asarray(gt.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+        np.testing.assert_allclose(R, R_ref, atol=2e-6)
+
+        q_ref = kt.rotation_matrix_to_quaternion(torch.from_numpy(R_ref)).numpy()
+        q = np.asarray(gt.rotation_matrix_to_quaternion(jnp.asarray(R)))
+        # canonicalize sign (q and -q are the same rotation)
+        s_ref = np.sign(q_ref[..., :1] + 1e-12)
+        s = np.sign(q[..., :1] + 1e-12)
+        np.testing.assert_allclose(q * s, q_ref * s_ref, atol=2e-5)
+
+        aa_ref = kt.quaternion_to_angle_axis(torch.from_numpy(q_ref)).numpy()
+        aa_back = np.asarray(gt.quaternion_to_angle_axis(jnp.asarray(q_ref)))
+        np.testing.assert_allclose(aa_back, aa_ref, atol=2e-5)
+
+        q2_ref = kt.angle_axis_to_quaternion(t_aa).numpy()
+        q2 = np.asarray(gt.angle_axis_to_quaternion(jnp.asarray(aa)))
+        np.testing.assert_allclose(q2, q2_ref, atol=2e-6)
+
+    def test_quat_heading_algebra(self, ref_mods):
+        import jax.numpy as jnp
+
+        from glamr_tpu import transforms as gt
+
+        kt, tt, _ = ref_mods
+        qa = kt.angle_axis_to_quaternion(torch.from_numpy(self._aa(seed=1))).numpy()
+        qb = kt.angle_axis_to_quaternion(torch.from_numpy(self._aa(seed=2))).numpy()
+        v = np.random.default_rng(3).normal(0, 1, (64, 3)).astype(np.float32)
+
+        np.testing.assert_allclose(
+            np.asarray(gt.quat_mul(jnp.asarray(qa), jnp.asarray(qb))),
+            tt.quat_mul(torch.from_numpy(qa), torch.from_numpy(qb)).numpy(),
+            atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(gt.quat_apply(jnp.asarray(qa), jnp.asarray(v))),
+            tt.quat_apply(torch.from_numpy(qa), torch.from_numpy(v)).numpy(),
+            atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(gt.get_heading(jnp.asarray(qa))),
+            tt.get_heading(torch.from_numpy(qa)).numpy(), atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(gt.deheading_quat(jnp.asarray(qa))),
+            tt.deheading_quat(torch.from_numpy(qa)).numpy(), atol=5e-6)
+
+        r6_ref = tt.quat_to_rot6d(torch.from_numpy(qa))
+        np.testing.assert_allclose(
+            np.asarray(gt.quat_to_rot6d(jnp.asarray(qa))), r6_ref.numpy(),
+            atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(gt.rot6d_to_rotmat(jnp.asarray(r6_ref.numpy()))),
+            tt.rot6d_to_rotmat(r6_ref).numpy(), atol=2e-6)
+
+    def test_procrustes(self, ref_mods):
+        import jax.numpy as jnp
+
+        from glamr_tpu.transforms import similarity_transform
+
+        _, tt, _ = ref_mods
+        rng = np.random.default_rng(4)
+        S1 = rng.normal(0, 1, (8, 15, 3)).astype(np.float32)
+        S2 = (1.7 * S1 @ np.linalg.qr(rng.normal(0, 1, (3, 3)))[0].astype(np.float32)
+              + rng.normal(0, 0.05, (8, 15, 3)).astype(np.float32))
+        ref = tt.batch_compute_similarity_transform_torch(
+            torch.from_numpy(S1), torch.from_numpy(S2)).numpy()
+        ours = np.asarray(similarity_transform(jnp.asarray(S1), jnp.asarray(S2)))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_traj_codec(self, ref_mods):
+        import jax.numpy as jnp
+
+        from glamr_tpu import transforms as gt
+
+        kt, tt, ref_traj = ref_mods
+        rng = np.random.default_rng(5)
+        T = 40
+        trans = np.cumsum(rng.normal(0, 0.1, (T, 3)), 0).astype(np.float32)
+        aa = np.cumsum(rng.normal(0, 0.1, (T, 3)), 0).astype(np.float32)
+        q = kt.angle_axis_to_quaternion(torch.from_numpy(aa)).numpy()
+
+        local_ref = ref_traj.traj_global2local_heading(
+            torch.from_numpy(trans), torch.from_numpy(q)).numpy()
+        local = np.asarray(gt.traj_global2local_heading(
+            jnp.asarray(trans), jnp.asarray(q)))
+        np.testing.assert_allclose(local, local_ref, atol=5e-5)
+
+        t_ref, q_ref = ref_traj.traj_local2global_heading(
+            torch.from_numpy(local_ref))
+        t_ours, q_ours = gt.traj_local2global_heading(jnp.asarray(local_ref))
+        np.testing.assert_allclose(np.asarray(t_ours), t_ref.numpy(), atol=1e-4)
+        s_ref = np.sign(q_ref.numpy()[..., :1] + 1e-12)
+        s = np.sign(np.asarray(q_ours)[..., :1] + 1e-12)
+        np.testing.assert_allclose(np.asarray(q_ours) * s,
+                                   q_ref.numpy() * s_ref, atol=1e-4)
+
+    def test_world2heading(self, ref_mods):
+        import jax.numpy as jnp
+
+        from glamr_tpu import transforms as gt
+
+        kt, _, ref_traj = ref_mods
+        rng = np.random.default_rng(6)
+        T = 25
+        trans = np.cumsum(rng.normal(0, 0.1, (T, 3)), 0).astype(np.float32)
+        aa = np.cumsum(rng.normal(0, 0.1, (T, 3)), 0).astype(np.float32)
+        q = kt.angle_axis_to_quaternion(torch.from_numpy(aa)).numpy()
+
+        q_h_ref, t_h_ref = ref_traj.convert_traj_world2heading(
+            torch.from_numpy(q), torch.from_numpy(trans))
+        q_h, t_h = gt.convert_traj_world2heading(jnp.asarray(q), jnp.asarray(trans))
+        np.testing.assert_allclose(np.asarray(t_h), t_h_ref.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(q_h), q_h_ref.numpy(), atol=5e-5)
