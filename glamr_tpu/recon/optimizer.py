@@ -42,6 +42,7 @@ from ..transforms import (
     interp_orient_q_sep_heading,
 )
 from ..utils.log_utils import convert_sec_to_time, create_logger
+from ..utils.transfer import device_get_tree
 from .data_init import BatchedPersons, init_batched
 from .forward import ReconFlags, recon_forward
 from .losses import compute_losses
@@ -611,8 +612,11 @@ class GlobalReconOptimizer:
                     n_it, ss["loss_cfg"], use_latents=live, vmapped=vmapped,
                 )
                 params, (h, uw) = run(params, const)
-                hists.append(np.asarray(h))
-                uw_hists.append({k: np.asarray(v) for k, v in uw.items()})
+                # one packed transfer instead of one per loss term (each
+                # transfer is a full round-trip on a tunneled device)
+                h_host, uw_host = device_get_tree((h, uw))
+                hists.append(h_host)
+                uw_hists.append(uw_host)
             # history axes: serial (niters,), vmapped (batch, niters)
             loss_hist = np.concatenate(hists, axis=-1)
             elapsed = time.time() - t0
@@ -746,7 +750,14 @@ class GlobalReconOptimizer:
         at :588)."""
         bp: BatchedPersons = data["bp"]
         P, T = bp.num_persons, bp.num_fr
-        d = {k: np.asarray(v) for k, v in derived.items()}
+        # fetch everything the output needs in one packed transfer
+        d, smpl_pose_used, orient_base, trans_base, fr_np = device_get_tree((
+            derived,
+            derived.get("smpl_pose_used", const["smpl_pose"]),
+            const["smpl_orient_world_base"],
+            const["root_trans_world_base"],
+            const["fr_num_persons"],
+        ))
         person_data = {}
         for p, pid in enumerate(bp.person_ids):
             person_data[pid] = {
@@ -756,8 +767,7 @@ class GlobalReconOptimizer:
                 "vis_frames": bp.visible[p] == 1,
                 "invis_frames": bp.visible[p] == 0,
                 "max_len": T, "frames": np.arange(T), "scale": None,
-                "smpl_pose": np.asarray(
-                    derived.get("smpl_pose_used", const["smpl_pose"])[p]),
+                "smpl_pose": smpl_pose_used[p],
                 "smpl_beta": bp.smpl_beta[p],
                 "smpl_orient_cam": bp.smpl_orient_cam[p],
                 "root_trans_cam": bp.root_trans_cam[p],
@@ -765,8 +775,8 @@ class GlobalReconOptimizer:
                 "cam_K": bp.cam_K[p],
                 "smpl_orient_world": d["smpl_orient_world"][p],
                 "root_trans_world": d["root_trans_world"][p],
-                "smpl_orient_world_base": np.asarray(const["smpl_orient_world_base"][p]),
-                "root_trans_world_base": np.asarray(const["root_trans_world_base"][p]),
+                "smpl_orient_world_base": orient_base[p],
+                "root_trans_world_base": trans_base[p],
                 "traj_local": d["traj_local"][p],
                 "kp_2d_pred": d["kp_2d_pred"][p],
             }
@@ -774,7 +784,7 @@ class GlobalReconOptimizer:
             "seq_name": data["seq_name"],
             "person_data": person_data,
             "seq_len": T,
-            "fr_num_persons": np.asarray(const["fr_num_persons"]),
+            "fr_num_persons": fr_np,
             "cam_pose": d["cam_pose"],
             "cam_pose_inv": d["cam_pose_inv"],
             "gt": data["gt"], "gt_meta": data["gt_meta"],

@@ -615,3 +615,27 @@ class TestRaggedSpanExactness:
         pose_s, traj_s = np.asarray(pose_s), np.asarray(traj_s)
         assert np.abs(pose_j[1, :e] - pose_s[0, :e]).max() < 5e-3
         assert np.abs(traj_j[1, :e] - traj_s[0, :e]).max() < 5e-3
+
+
+def test_device_get_tree_matches_per_leaf():
+    """Packed transfer returns exactly what per-leaf np.asarray would."""
+    import jax.numpy as jnp
+
+    from glamr_tpu.utils.transfer import device_get_tree
+
+    tree = {
+        "a": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+        "b": {"c": jnp.ones((2, 2, 2), jnp.float32) * 3.5,
+              "d": jnp.arange(5, dtype=jnp.int32)},
+        "scalar": jnp.float32(7.25),
+        "passthrough": np.zeros(3),
+        "none": None,
+    }
+    out = device_get_tree(tree)
+    np.testing.assert_array_equal(out["a"], np.asarray(tree["a"]))
+    np.testing.assert_array_equal(out["b"]["c"], np.asarray(tree["b"]["c"]))
+    np.testing.assert_array_equal(out["b"]["d"], np.asarray(tree["b"]["d"]))
+    assert out["b"]["d"].dtype == np.int32
+    assert float(out["scalar"]) == 7.25 and out["scalar"].shape == ()
+    assert out["none"] is None
+    assert isinstance(out["a"], np.ndarray)
