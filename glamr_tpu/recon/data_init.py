@@ -29,9 +29,21 @@ NUM_KP = 26  # body26fk keypoint count
 
 
 def _rotmats_to_aa(rotmats: np.ndarray) -> np.ndarray:
-    """(N, 24, 3, 3) -> (N, 24, 3) axis-angle (host, scipy)."""
+    """(N, 24, 3, 3) -> (N, 24, 3) axis-angle.
+
+    Uses the framework's jitted conversion (CPU backend under init) —
+    scipy's from_matrix orthogonalizes via SVD, which costs ~60 ms per
+    person at T=900 and is unnecessary for detector/HybrIK rotmats (the
+    reference feeds them through scipy Rotation at
+    global_recon_model.py:104-108; proper rotations either way)."""
+    import jax.numpy as jnp
+
+    from ..transforms import rotation_matrix_to_angle_axis
+
     n = rotmats.shape[0]
-    return _R.from_matrix(rotmats.reshape(-1, 3, 3)).as_rotvec().reshape(n, -1, 3).astype(np.float32)
+    aa = np.asarray(rotation_matrix_to_angle_axis(
+        jnp.asarray(rotmats.reshape(-1, 3, 3), jnp.float32)))
+    return aa.reshape(n, -1, 3)
 
 
 def _quat_angle_diff_np(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
