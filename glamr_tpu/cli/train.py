@@ -245,27 +245,33 @@ def main(argv=None):
     # host traffic (measured: 877 -> 90 ms/step at bs 1024 on a tunneled
     # v5e). Host pipeline remains for gaussian-smooth augmentation, the
     # traj model's jpos windows, and multi-device sharded batches.
-    make_batch_dev = None
-    dev_keys = None
+    epoch_fn = None
     if (args.device_data and cfg.get("pose_gaussian_smooth") is None
             and ndev == 1 and args.model in ("motion_infiller", "traj_pred")):
         from ..data import DeviceSampler
-        from ..train import make_trajpred_device_step
+        from ..train.trainer import (infiller_step_core, make_fused_epoch,
+                                     trajpred_device_step_core)
 
         dsd = DeviceSampler(train_ds.data, train_ds.seq_prob)
         if args.model == "motion_infiller":
             mask_spec = (cfg.get("data_mask_methods") or {}).get("drop_frames")
             dev_keys = ("in_body_pose", "gt_body_pose", "frame_mask")
+            core = infiller_step_core(model, tx, cfg.loss_cfg,
+                                      compute_dtype=cdtype)
         else:
-            # raw theta windows; FK + quat conversion happen inside the
-            # jitted step (make_trajpred_device_step)
+            # raw theta windows; FK + quat conversion happen inside the step
             mask_spec = None
             dev_keys = ("pose", "trans", "frame_loss_mask")
-            step_fn = make_trajpred_device_step(model, tx, cfg.loss_cfg, smpl,
-                                                compute_dtype=cdtype)
-        make_batch_dev = lambda key: dsd.sample_batch(
-            key, batch_size, seq_len, mask_spec)
-        log.info("using device-resident batch sampling")
+            core = trajpred_device_step_core(model, tx, cfg.loss_cfg, smpl,
+                                             compute_dtype=cdtype)
+        sample = lambda key: {
+            k: dsd.sample_batch(key, batch_size, seq_len, mask_spec)[k]
+            for k in dev_keys}
+        # the WHOLE epoch — K x (device batch draw -> train step) — is one
+        # lax.scan program: one dispatch per epoch instead of two per step
+        epoch_fn = make_fused_epoch(core, sample, steps)
+        log.info("using fused device-resident epochs "
+                 f"({steps} steps/dispatch)")
 
     if args.resume:
         state = load_checkpoint(args.resume, target=jax.device_get(state))
@@ -281,18 +287,24 @@ def main(argv=None):
     try:
       for epoch in range(epochs):
         t0 = time.time()
-        train_loss = 0.0
-        for it in range(steps):
-            rng, sub, kb = jax.random.split(rng, 3)
-            if make_batch_dev is not None:
-                batch = make_batch_dev(kb)
-                batch = {k: batch[k] for k in dev_keys}
-            else:
+        if epoch_fn is not None:
+            rng, sub = jax.random.split(rng)
+            state, emetrics = epoch_fn(state, sub)
+            train_loss = float(emetrics["loss"].mean())
+            train_terms = {f"train/{k}": float(v[-1])
+                           for k, v in emetrics.items()}
+        else:
+            # accumulate the per-step loss ON DEVICE and pull once per
+            # epoch: a float() per step blocks on a host round-trip, which
+            # on a tunneled TPU costs ~30x the step itself (measured)
+            loss_acc = []
+            for it in range(steps):
+                rng, sub = jax.random.split(rng)
                 batch = shard_batch(make_batch(np_rng), mesh)
-            state, metrics = step_fn(state, batch, replicate(sub, mesh))
-            train_loss += float(metrics["loss"])
-        train_loss /= steps
-        train_terms = {f"train/{k}": float(v) for k, v in metrics.items()}
+                state, metrics = step_fn(state, batch, replicate(sub, mesh))
+                loss_acc.append(metrics["loss"])
+            train_loss = float(jnp.stack(loss_acc).mean())
+            train_terms = {f"train/{k}": float(v) for k, v in metrics.items()}
 
         # quick val pass (posterior-mode loss on held-out windows)
         vbatch = shard_batch(make_val(np_rng), mesh)

@@ -40,6 +40,11 @@ def main(argv=None):
                         help="also compile the vmapped multi-seed program "
                              "for this many seeds (0 = skip)")
     parser.add_argument("--cache_dir", default="/root/.cache/jax")
+    parser.add_argument("--min_compile_secs", type=float, default=0.0,
+                        help="only persist programs whose compile took at "
+                             "least this long (0 caches everything — tiny "
+                             "programs are cheap to store and still save "
+                             "the dispatch-path retrace)")
     parser.add_argument("--opt_niters", type=int, default=0,
                         help="override every stage's iteration count. The "
                              "scan length is baked into the compiled "
@@ -50,7 +55,9 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", args.cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      args.min_compile_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from ..models import load_joint_model
     from ..pose_est import synthetic_pose_est

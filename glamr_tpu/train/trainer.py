@@ -232,6 +232,90 @@ def make_multistep(step_fn_core, K: int):
     return jax.jit(multi, donate_argnums=0)
 
 
+def make_fused_epoch(step_core, sample_fn, K: int):
+    """Fuse K x (on-device batch draw -> train step) into ONE jitted
+    lax.scan — a single dispatch per K steps. With per-step dispatch the
+    wall-clock is dominated by host round-trips (measured on a tunneled
+    v5e: ~91 ms/step dispatched singly vs ~3 ms/step of actual device
+    compute at batch 1024); fused, an epoch runs at device speed.
+
+    step_core: UNjitted (state, batch, rng) -> (state, metrics).
+    sample_fn: (key) -> batch dict (jit-composable, e.g. a DeviceSampler
+    closure). Returns epoch(state, rng) -> (state, stacked metrics).
+    """
+
+    def epoch(state, rng):
+        def body(carry, _):
+            st, r = carry
+            r, kb, ks = jax.random.split(r, 3)
+            batch = sample_fn(kb)
+            st, metrics = step_core(st, batch, ks)
+            return (st, r), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), None, length=K)
+        return state, metrics
+
+    return jax.jit(epoch, donate_argnums=0)
+
+
+def infiller_step_core(model: MotionInfillerVAE, tx, loss_cfg: dict,
+                       compute_dtype=None):
+    """Unjitted infiller train step (state, batch, rng) -> (state, metrics)
+    for composition into fused epochs/multisteps."""
+    apply_fn = mixed_precision(model.apply, compute_dtype)
+
+    def loss_fn(params, batch, rng):
+        sample_rng, drop_rng = jax.random.split(rng)
+        out = apply_fn(
+            params, batch["in_body_pose"], batch["gt_body_pose"],
+            batch["frame_mask"], rng=sample_rng, deterministic=False,
+            rngs={"dropout": drop_rng},
+        )
+        total, uw = weighted_total({**batch, **out}, loss_cfg, infiller_loss_dict)
+        return total, uw
+
+    def step(state, batch, rng):
+        (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), {"loss": loss, **uw}
+
+    return step
+
+
+def trajpred_device_step_core(model: TrajPredVAE, tx, loss_cfg: dict, smpl,
+                              compute_dtype=None):
+    """Unjitted traj-pred step over RAW device-sampler batches (FK + quat
+    conversion inside), for composition into fused epochs."""
+    from ..transforms import angle_axis_to_quaternion
+    apply_fn = mixed_precision(model.apply, compute_dtype)
+
+    def loss_fn(params, batch, rng):
+        sample_rng, drop_rng = jax.random.split(rng)
+        joint_pos = smpl.joint_pos_from_body_pose(batch["pose"][..., 3:])
+        orient_q = angle_axis_to_quaternion(batch["pose"][..., :3])
+        out = apply_fn(
+            params, joint_pos, batch["trans"], orient_q,
+            rng=sample_rng, rngs={"dropout": drop_rng},
+        )
+        data = {**batch, **out, "orient_q": orient_q,
+                "frame_loss_mask": batch["frame_loss_mask"][..., 0]}
+        total, uw = weighted_total(data, loss_cfg, traj_pred_loss_dict)
+        return total, uw
+
+    def step(state, batch, rng):
+        (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), {"loss": loss, **uw}
+
+    return step
+
+
 def make_infiller_multistep(model: MotionInfillerVAE, tx, loss_cfg: dict,
                             K: int, compute_dtype=None):
     """K-step fused infiller trainer: (state, batches (K,B,...), rng)."""
