@@ -243,16 +243,19 @@ def main(argv=None):
 
     # on-device batch sampling: dataset resident in HBM, zero per-step
     # host traffic (measured: 877 -> 90 ms/step at bs 1024 on a tunneled
-    # v5e). Host pipeline remains for gaussian-smooth augmentation, the
-    # traj model's jpos windows, and multi-device sharded batches.
+    # v5e). Host pipeline remains for gaussian-smooth augmentation and
+    # the traj model's jpos windows. On a multi-device mesh the sampled
+    # batch is sharding-constrained over ('dp',) so the partitioner
+    # splits the gather per device and all-reduces grads over ICI.
     epoch_fn = None
     if (args.device_data and cfg.get("pose_gaussian_smooth") is None
-            and ndev == 1 and args.model in ("motion_infiller", "traj_pred")):
+            and args.model in ("motion_infiller", "traj_pred")):
         from ..data import DeviceSampler
         from ..train.trainer import (infiller_step_core, make_fused_epoch,
                                      trajpred_device_step_core)
 
-        dsd = DeviceSampler(train_ds.data, train_ds.seq_prob)
+        dsd = DeviceSampler(train_ds.data, train_ds.seq_prob,
+                            mesh=mesh if ndev > 1 else None)
         if args.model == "motion_infiller":
             mask_spec = (cfg.get("data_mask_methods") or {}).get("drop_frames")
             dev_keys = ("in_body_pose", "gt_body_pose", "frame_mask")
@@ -269,9 +272,10 @@ def main(argv=None):
             for k in dev_keys}
         # the WHOLE epoch — K x (device batch draw -> train step) — is one
         # lax.scan program: one dispatch per epoch instead of two per step
-        epoch_fn = make_fused_epoch(core, sample, steps)
+        epoch_fn = make_fused_epoch(core, sample, steps,
+                                    mesh=mesh if ndev > 1 else None)
         log.info("using fused device-resident epochs "
-                 f"({steps} steps/dispatch)")
+                 f"({steps} steps/dispatch, {ndev} devices)")
 
     if args.resume:
         state = load_checkpoint(args.resume, target=jax.device_get(state))

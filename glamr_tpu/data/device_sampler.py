@@ -32,14 +32,20 @@ class DeviceSampler:
     """Holds the device-resident dataset + sampling tables."""
 
     def __init__(self, data: dict, seq_prob: Optional[np.ndarray] = None,
-                 device=None):
+                 device=None, mesh=None):
         seqs = list(data.values())
         theta = np.ascontiguousarray(np.concatenate(seqs, 0), np.float32)
         lengths = np.array([s.shape[0] for s in seqs], np.int64)
         offsets = np.concatenate([[0], np.cumsum(lengths)])
         if seq_prob is None:
             seq_prob = np.full(len(seqs), 1.0 / len(seqs))
-        dev = device or jax.devices()[0]
+        if mesh is not None:
+            # replicate the dataset over the mesh so each device's shard of
+            # a batch draw gathers from local HBM (no cross-device traffic)
+            from jax.sharding import NamedSharding, PartitionSpec
+            dev = NamedSharding(mesh, PartitionSpec())
+        else:
+            dev = device or jax.devices()[0]
         self.theta = jax.device_put(jnp.asarray(theta), dev)       # (N, 85)
         self.offsets = jax.device_put(jnp.asarray(offsets[:-1]), dev)
         self.lengths = jax.device_put(jnp.asarray(lengths), dev)

@@ -232,7 +232,7 @@ def make_multistep(step_fn_core, K: int):
     return jax.jit(multi, donate_argnums=0)
 
 
-def make_fused_epoch(step_core, sample_fn, K: int):
+def make_fused_epoch(step_core, sample_fn, K: int, mesh=None, axis="dp"):
     """Fuse K x (on-device batch draw -> train step) into ONE jitted
     lax.scan — a single dispatch per K steps. With per-step dispatch the
     wall-clock is dominated by host round-trips (measured on a tunneled
@@ -242,13 +242,27 @@ def make_fused_epoch(step_core, sample_fn, K: int):
     step_core: UNjitted (state, batch, rng) -> (state, metrics).
     sample_fn: (key) -> batch dict (jit-composable, e.g. a DeviceSampler
     closure). Returns epoch(state, rng) -> (state, stacked metrics).
+
+    With a mesh, the drawn batch is constrained to shard on its leading
+    axis over `axis`: the SPMD partitioner then splits the sampler's
+    window gather so each device gathers only its own rows from the
+    (replicated) dataset, the loss reduction becomes a cross-device psum,
+    and the gradient all-reduce rides ICI — still one dispatch per epoch,
+    no per-device Python (the jit analog of the reference's DDP epoch,
+    motion_infiller/train.py:117-119).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        bsh = NamedSharding(mesh, P(axis))
 
     def epoch(state, rng):
         def body(carry, _):
             st, r = carry
             r, kb, ks = jax.random.split(r, 3)
             batch = sample_fn(kb)
+            if mesh is not None:
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, bsh), batch)
             st, metrics = step_core(st, batch, ks)
             return (st, r), metrics
 

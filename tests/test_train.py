@@ -394,3 +394,68 @@ def test_trajpred_device_step():
     assert all(np.isfinite(losses))
     # each step draws a fresh stochastic batch: compare trend, not endpoints
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+class TestFusedEpoch:
+    def test_sharded_matches_single_device(self, mesh8):
+        """A fused device-resident epoch sharded over the ('dp',) mesh
+        produces the same parameters as the unsharded program (same rng
+        stream; only the psum reassociation differs)."""
+        from glamr_tpu.data import DeviceSampler
+        from glamr_tpu.train.trainer import (infiller_step_core,
+                                             make_fused_epoch)
+
+        import optax
+
+        model = MotionInfillerVAE(MCFG)
+        # SGD, not Adam: Adam's m/sqrt(v) is scale-free, so psum fp
+        # reassociation on near-zero grads would amplify to lr-sized
+        # param diffs; with SGD params differ only as much as grads do
+        tx = optax.sgd(1e-2)
+        rng = jax.random.PRNGKey(0)
+        state0 = init_infiller(model, tx, rng)
+        loss_cfg = {"mse": {"weight": 1.0},
+                    "vae_z_kld": {"weight": 1e-3, "min_clip": 0.0}}
+        core = infiller_step_core(model, tx, loss_cfg)
+
+        data, _ = synthetic_amass_data(4, min_len=30, max_len=60)
+        K, B, W = 3, 8, MCFG.window_len
+        keys = ("in_body_pose", "gt_body_pose", "frame_mask")
+
+        def run(mesh):
+            ds = DeviceSampler(data, mesh=mesh)
+            sample = lambda key: {
+                k: ds.sample_batch(key, B, W, None)[k] for k in keys}
+            epoch = make_fused_epoch(core, sample, K, mesh=mesh)
+            st = jax.tree.map(lambda x: x.copy(), state0)
+            if mesh is not None:
+                st = replicate(st, mesh)
+            st, metrics = epoch(st, jax.random.PRNGKey(7))
+            return jax.device_get(st.params), jax.device_get(metrics)
+
+        p1, m1 = run(None)
+        p8, m8 = run(mesh8)
+        assert m8["loss"].shape == (K,)
+        np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=2e-4)
+        flat1 = jax.tree.leaves(p1)
+        flat8 = jax.tree.leaves(p8)
+        for a, b in zip(flat1, flat8):
+            np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4)
+
+    @pytest.mark.slow
+    def test_train_cli_multidevice_device_data(self, tmp_path, monkeypatch):
+        """Train CLI with --ndevices 8 --device_data 1: the fused epoch
+        shards the on-device batch draw over the dp mesh."""
+        monkeypatch.chdir(tmp_path)
+        from glamr_tpu.cli import train as train_cli
+
+        train_cli.main([
+            "--model", "motion_infiller", "--synthetic_data",
+            "--epochs", "1", "--steps_per_epoch", "2", "--batch_size", "16",
+            "--ndevices", "8", "--device_data", "1",
+        ])
+        import glob
+        cps = glob.glob(
+            str(tmp_path / "results" / "**" / "checkpoints" / "*.pkl"),
+            recursive=True)
+        assert cps, "no checkpoint written"
