@@ -110,7 +110,33 @@ class SMPL:
     ) -> jax.Array:
         """Pose-type joints via subset skinning — numerically identical to
         forward(...).joints but skins only the vertices the joint set reads
-        (see _build_joint_submodel). The stage-4 optimizer's hot op."""
+        (see _build_joint_submodel). The stage-4 optimizer's hot op.
+
+        At production batch sizes this runs in channel-leading (SoA)
+        layout: the batch axis stays on the TPU lane dimension throughout
+        (see lbs_soa; ~9x over the AoS form inside the optimizer scan,
+        results equal to ~1e-6). Below the lane width there is nothing to
+        gain and the SoA graph's ~2k HLO ops compile much slower, so tiny
+        static batches keep the AoS form (B is static under jit — the
+        choice is per compiled program, not data-dependent)."""
+        if body_pose.shape[0] >= 128:
+            from .lbs_soa import joints_fast_soa
+
+            return joints_fast_soa(self, global_orient, body_pose, betas,
+                                   root_trans, root_scale)
+        return self.joints_fast_aos(global_orient, body_pose, betas,
+                                    root_trans, root_scale)
+
+    def joints_fast_aos(
+        self,
+        global_orient: jax.Array,        # (B, 3) axis-angle
+        body_pose: jax.Array,            # (B, 69)
+        betas: jax.Array,                # (B, 10)
+        root_trans: jax.Array | None = None,
+        root_scale: jax.Array | None = None,
+    ) -> jax.Array:
+        """Array-of-structs reference implementation of joints_fast (same
+        math in (B, J, 3, 3) layout; kept as the equivalence oracle)."""
         from .lbs import rigid_transform, rodrigues
 
         B = body_pose.shape[0]

@@ -54,6 +54,10 @@ def main(argv=None):
 
     import jax
 
+    # respect an explicit JAX_PLATFORMS even when a platform plugin
+    # rewrites jax_platforms at import time (the tunneled-TPU plugin does)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir", args.cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       args.min_compile_secs)

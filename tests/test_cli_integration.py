@@ -255,16 +255,23 @@ def test_run_demo_lifter_kp_file(tmp_path, monkeypatch):
     assert (tmp_path / "demo_out" / "pose_est" / "synthetic" / "pose.pkl").exists()
 
 
-def test_warmup_cli(tmp_path, monkeypatch):
+def test_warmup_cli(tmp_path):
     """Warmup CLI populates the persistent compile cache for a config +
-    shape bucket (tiny niters override — smoke path only)."""
-    from glamr_tpu.cli import warmup
+    shape bucket (tiny niters override — smoke path only). Runs in a
+    subprocess, as in production: jax's persistent-cache dir cannot be
+    reliably re-pointed once the in-process cache singleton has been
+    initialized by earlier compiles."""
+    import subprocess
+    import sys
 
-    monkeypatch.chdir(tmp_path)
     cache = tmp_path / "xla_cache"
-    warmup.main([
-        "--cfg", "glamr_static", "--num_fr", "20", "--persons", "1",
-        "--opt_niters", "2", "--cache_dir", str(cache),
-    ])
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "glamr_tpu.cli.warmup",
+         "--cfg", "glamr_static", "--num_fr", "20", "--persons", "1",
+         "--opt_niters", "2", "--cache_dir", str(cache)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
     cached = [f for _, _, fs in os.walk(cache) for f in fs]
     assert cached, "no compiled programs written to the cache"
