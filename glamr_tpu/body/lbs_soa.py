@@ -176,3 +176,23 @@ def joints_fast_soa(smpl, global_orient: jax.Array, body_pose: jax.Array,
             joints = (joints - cur_root) * root_scale[None, None, :] \
                 + root_trans.T[None]
     return jnp.transpose(joints, (2, 0, 1))                          # (B,Jp,3)
+
+
+def rigid_fk_soa(model, global_orient: jax.Array, body_pose: jax.Array,
+                 transl: jax.Array | None = None) -> jax.Array:
+    """Joints-only template FK in channel form (lbs.rigid_fk equivalent,
+    reference SMPL.get_joints smpl.py:318-343). The rest skeleton is a
+    constant, so its channels are scalars broadcast against the (B,)
+    rotation channels — the chain is pure lane-width fma."""
+    B = body_pose.shape[0]
+    pose_T = jnp.concatenate([global_orient, body_pose], axis=-1).T  # (72,B)
+    rest = jnp.einsum("jv,vc->jc", model.j_regressor, model.v_template)
+    rest_jcb = rest[:, :, None]                                      # (24,3,1)
+    parents = np.asarray(model.parents)
+
+    G_rot, G_t, _ = fk_chain_channels(pose_T, rest_jcb, parents)
+    rows = [jnp.stack([jnp.broadcast_to(c, (B,)) for c in t]) for t in G_t]
+    joints = jnp.transpose(jnp.stack(rows), (2, 0, 1))               # (B,24,3)
+    if transl is not None:
+        joints = joints + transl[:, None, :]
+    return joints

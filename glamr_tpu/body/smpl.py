@@ -180,8 +180,18 @@ class SMPL:
         pose2rot: bool = True,
     ) -> jax.Array:
         """Template-skeleton FK, 24 joints — no blend shapes, no skinning
-        (matches reference get_joints which ignores betas: smpl.py:318-343)."""
-        joints = rigid_fk(self.model, global_orient, body_pose, transl, pose2rot)
+        (matches reference get_joints which ignores betas: smpl.py:318-343).
+
+        Large static batches take the channel-leading FK (lbs_soa) — this
+        is the CVAE-training hot op (joint_pos_from_body_pose runs it at
+        batch x seq_len frames inside the fused train step)."""
+        if pose2rot and body_pose.shape[0] >= 128:
+            from .lbs_soa import rigid_fk_soa
+
+            joints = rigid_fk_soa(self.model, global_orient, body_pose, transl)
+        else:
+            joints = rigid_fk(self.model, global_orient, body_pose, transl,
+                              pose2rot)
         if root_trans is not None:
             joints = reroot(joints, joints, root_trans, root_scale)
         return joints
