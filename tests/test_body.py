@@ -197,3 +197,17 @@ class TestSoA:
         g = jax.grad(
             lambda p: jnp.sum(joints_fast_soa(smpl, zo, p, zb) ** 2))(z)
         assert bool(jnp.isfinite(g).all())
+
+    def test_rigid_fk_soa_matches(self, smpl, rng):
+        """Template-FK SoA path (get_joints at production batch sizes) ==
+        AoS rigid_fk."""
+        from glamr_tpu.body.lbs import rigid_fk
+        from glamr_tpu.body.lbs_soa import rigid_fk_soa
+
+        B = 16
+        o = jnp.asarray(rng.normal(0, 1, (B, 3)).astype(np.float32))
+        p = jnp.asarray(rng.normal(0, 0.4, (B, 69)).astype(np.float32))
+        t = jnp.asarray(rng.normal(0, 1, (B, 3)).astype(np.float32))
+        a = rigid_fk(smpl.model, o, p, t)
+        b = rigid_fk_soa(smpl.model, o, p, t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
