@@ -23,6 +23,49 @@ import os
 import time
 
 
+def _parallel_warmup(args):
+    """Fan the (cfg, persons, frames) grid out over N subprocesses, each
+    running this CLI serially on its slice; the persistent cache dir is
+    shared (cache writes are atomic per program)."""
+    import itertools
+    import subprocess
+    import sys
+
+    all_cfgs = ["glamr_static", "glamr_dynamic", "glamr_static_multi",
+                "glamr_dynamic_multi", "glamr_3dpw", "glamr_h36m"]
+    cfg_ids = all_cfgs if args.cfg == "all" else args.cfg.split(",")
+    combos = list(itertools.product(
+        cfg_ids, str(args.persons).split(","), str(args.num_fr).split(",")))
+
+    def launch(combo):
+        cfg_id, p, t = combo
+        return subprocess.Popen(
+            [sys.executable, "-m", "glamr_tpu.cli.warmup",
+             "--parallel", "1",
+             "--cache_dir", args.cache_dir,
+             "--pad_to", str(args.pad_to),
+             "--multi_seed", str(args.multi_seed),
+             "--min_compile_secs", str(args.min_compile_secs),
+             "--opt_niters", str(args.opt_niters),
+             "--cfg", cfg_id, "--persons", p, "--num_fr", t])
+
+    pending = list(combos)
+    running: list = []
+    rc = 0
+    while pending or running:
+        while pending and len(running) < args.parallel:
+            running.append(launch(pending.pop(0)))
+        done = [pr for pr in running if pr.poll() is not None]
+        for pr in done:
+            rc |= pr.returncode
+            running.remove(pr)
+        if not done:
+            time.sleep(1.0)
+    if rc:
+        raise SystemExit(rc)
+    return None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default="glamr_static",
@@ -50,7 +93,16 @@ def main(argv=None):
                              "scan length is baked into the compiled "
                              "program, so this warms a DIFFERENT program "
                              "than production — smoke-testing only")
+    parser.add_argument("--parallel", type=int, default=1,
+                        help="warm N (cfg, persons, frames) combos in N "
+                             "concurrent subprocesses sharing the cache "
+                             "dir — XLA compiles are mostly serial per "
+                             "program, so independent bucket programs "
+                             "overlap nearly perfectly")
     args = parser.parse_args(argv)
+
+    if args.parallel > 1:
+        return _parallel_warmup(args)
 
     import jax
 
