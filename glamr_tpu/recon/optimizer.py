@@ -96,7 +96,6 @@ class GlobalReconOptimizer:
         self.cam_fix_frames = g("cam_fix_frames", [[0, None]])
         self.opt_stage_specs = cfg.opt_stage_specs
         self._stage_cache: dict = {}
-        self._fwd_cache: dict = {}
         if (self.flag_opt_motion_latent or self.flag_opt_traj_latent) and \
                 self.joint_model is None:
             raise ValueError(
@@ -561,7 +560,14 @@ class GlobalReconOptimizer:
             (params, _, _), hist = jax.lax.scan(
                 step, (params, opt_state, const), None, length=opt_niters
             )
-            return params, hist
+            # final forward fused into the same program: the stage's
+            # derived outputs (world traj, camera, projected keypoints)
+            # come back with the scan results — one dispatch per stage
+            # instead of two (each dispatch is a round trip on a
+            # tunneled accelerator)
+            derived = recon_forward(params, const, smpl, flags, cam_mode,
+                                    joint_model=jm, use_latents=use_latents)
+            return params, hist, derived
 
         run = jax.jit(jax.vmap(run_core) if vmapped else run_core)
         self._stage_cache[cache_key] = run
@@ -611,7 +617,7 @@ class GlobalReconOptimizer:
                     stage, cam_mode, trainable, float(ss["opt_lr"]),
                     n_it, ss["loss_cfg"], use_latents=live, vmapped=vmapped,
                 )
-                params, (h, uw) = run(params, const)
+                params, (h, uw), derived = run(params, const)
                 # one packed transfer instead of one per loss term (each
                 # transfer is a full round-trip on a tunneled device)
                 h_host, uw_host = device_get_tree((h, uw))
@@ -633,8 +639,7 @@ class GlobalReconOptimizer:
                                 loss_uw_hist, elapsed)
 
             # thread the stage's final camera into subsequent stages
-            derived = self._jit_forward(cam_mode, use_latents, vmapped)(
-                params, const)
+            # (derived comes from the forward fused into the stage program)
             cam_pose = derived["cam_pose"]
             if ss.get("reinitialize_cam", False):
                 first = cam_pose[:, :1] if vmapped else cam_pose[:1]
@@ -655,17 +660,6 @@ class GlobalReconOptimizer:
             params, const, data["seq_name"], vmapped=False)
         data["const"], data["params"] = const, params
         return self._build_output(data, derived, params, const)
-
-    def _jit_forward(self, cam_mode: str, use_latents: bool = False,
-                     vmapped: bool = False):
-        key = (cam_mode, use_latents, vmapped)
-        if key not in self._fwd_cache:
-            smpl, flags, jm = self.smpl, self.flags, self.joint_model
-            fwd = lambda p, c: recon_forward(p, c, smpl, flags, cam_mode,
-                                             joint_model=jm,
-                                             use_latents=use_latents)
-            self._fwd_cache[key] = jax.jit(jax.vmap(fwd) if vmapped else fwd)
-        return self._fwd_cache[key]
 
     def _optimize_stacked(self, datas, seq_name, mesh=None):
         """Stack prepared data dicts on a leading axis and run the whole

@@ -197,7 +197,7 @@ class TestOptimize:
         cam = data["const"]["cam_pose_init"]
         data["params"]["cam_rot_6d_fix"] = rotmat_to_rot6d(cam[:1, :3, :3])
         data["params"]["cam_trans_fix"] = cam[:1, :3, 3]
-        _, (hist, uw_hist) = run(data["params"], data["const"])
+        _, (hist, uw_hist), _derived = run(data["params"], data["const"])
         hist = np.asarray(hist)
         assert np.isfinite(hist).all()
         assert hist[-1] < hist[0], f"loss did not decrease: {hist[0]} -> {hist[-1]}"
