@@ -117,7 +117,6 @@ def joints_fast_soa(smpl, global_orient: jax.Array, body_pose: jax.Array,
     (B, 82) inputs on entry and one of the (J, 3, B) joints on exit; all
     intermediate tensors keep B minor-most.
     """
-    B = body_pose.shape[0]
     pose_T = jnp.concatenate([global_orient, body_pose], axis=-1).T  # (72,B)
     betas_T = betas.T                                                # (10,B)
     parents = np.asarray(smpl.model.parents)

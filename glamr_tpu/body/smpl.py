@@ -21,6 +21,13 @@ from .lbs import lbs, reroot, rigid_fk
 from .model import SMPLModel, load_smpl, synthetic_smpl_model
 
 
+def _use_soa(body_pose) -> bool:
+    """Route to the channel-leading (SoA) body-math path only when it
+    pays: batch at least a lane-width multiple AND under a jit trace
+    (eagerly, SoA's ~2k tiny ops would each be their own dispatch)."""
+    return body_pose.shape[0] >= 128 and isinstance(body_pose, jax.core.Tracer)
+
+
 class SMPLOutput(NamedTuple):
     vertices: jax.Array  # (B, V, 3)
     joints: jax.Array    # (B, K, 3) pose-type ordered
@@ -118,8 +125,10 @@ class SMPL:
         results equal to ~1e-6). Below the lane width there is nothing to
         gain and the SoA graph's ~2k HLO ops compile much slower, so tiny
         static batches keep the AoS form (B is static under jit — the
-        choice is per compiled program, not data-dependent)."""
-        if body_pose.shape[0] >= 128:
+        choice is per compiled program, not data-dependent). Eager calls
+        also stay AoS: SoA's ~2k tiny ops only pay off fused under jit —
+        eagerly each would be its own dispatch."""
+        if _use_soa(body_pose):
             from .lbs_soa import joints_fast_soa
 
             return joints_fast_soa(self, global_orient, body_pose, betas,
@@ -182,10 +191,11 @@ class SMPL:
         """Template-skeleton FK, 24 joints — no blend shapes, no skinning
         (matches reference get_joints which ignores betas: smpl.py:318-343).
 
-        Large static batches take the channel-leading FK (lbs_soa) — this
-        is the CVAE-training hot op (joint_pos_from_body_pose runs it at
-        batch x seq_len frames inside the fused train step)."""
-        if pose2rot and body_pose.shape[0] >= 128:
+        Large static batches under jit take the channel-leading FK
+        (lbs_soa) — this is the CVAE-training hot op
+        (joint_pos_from_body_pose runs it at batch x seq_len frames
+        inside the fused train step)."""
+        if pose2rot and _use_soa(body_pose):
             from .lbs_soa import rigid_fk_soa
 
             joints = rigid_fk_soa(self.model, global_orient, body_pose, transl)

@@ -267,9 +267,9 @@ def main(argv=None):
             dev_keys = ("pose", "trans", "frame_loss_mask")
             core = trajpred_device_step_core(model, tx, cfg.loss_cfg, smpl,
                                              compute_dtype=cdtype)
-        sample = lambda key: {
-            k: dsd.sample_batch(key, batch_size, seq_len, mask_spec)[k]
-            for k in dev_keys}
+        def sample(key, _keys=dev_keys, _mask=mask_spec):
+            b = dsd.sample_batch(key, batch_size, seq_len, _mask)
+            return {k: b[k] for k in _keys}
         # the WHOLE epoch — K x (device batch draw -> train step) — is one
         # lax.scan program: one dispatch per epoch instead of two per step
         epoch_fn = make_fused_epoch(core, sample, steps,

@@ -22,18 +22,18 @@ import itertools
 import os
 import time
 
+ALL_CFGS = ["glamr_static", "glamr_dynamic", "glamr_static_multi",
+            "glamr_dynamic_multi", "glamr_3dpw", "glamr_h36m"]
+
 
 def _parallel_warmup(args):
     """Fan the (cfg, persons, frames) grid out over N subprocesses, each
     running this CLI serially on its slice; the persistent cache dir is
     shared (cache writes are atomic per program)."""
-    import itertools
     import subprocess
     import sys
 
-    all_cfgs = ["glamr_static", "glamr_dynamic", "glamr_static_multi",
-                "glamr_dynamic_multi", "glamr_3dpw", "glamr_h36m"]
-    cfg_ids = all_cfgs if args.cfg == "all" else args.cfg.split(",")
+    cfg_ids = ALL_CFGS if args.cfg == "all" else args.cfg.split(",")
     combos = list(itertools.product(
         cfg_ids, str(args.persons).split(","), str(args.num_fr).split(",")))
 
@@ -121,9 +121,7 @@ def main(argv=None):
     from ..utils import Config, create_logger
 
     log = create_logger()
-    all_cfgs = ["glamr_static", "glamr_dynamic", "glamr_static_multi",
-                "glamr_dynamic_multi", "glamr_3dpw", "glamr_h36m"]
-    cfg_ids = all_cfgs if args.cfg == "all" else args.cfg.split(",")
+    cfg_ids = ALL_CFGS if args.cfg == "all" else args.cfg.split(",")
     lengths = [int(t) for t in str(args.num_fr).split(",")]
     person_counts = [int(p) for p in str(args.persons).split(",")]
 

@@ -518,16 +518,25 @@ class GlobalReconOptimizer:
         return trainable
 
     def _stage_fn(self, stage_key, cam_mode, trainable, opt_lr, opt_niters,
-                  loss_cfg, use_latents=False, vmapped=False):
+                  loss_cfg, use_latents=False, vmapped=False,
+                  derived_use_latents=None):
         """Build (and cache) the compiled stage program.
 
         vmapped=True maps the whole stage over a leading seed axis on
         params AND const — the multi-seed benchmark protocol
         (run_dataset seeds, reference run_dataset.py:68) as one program.
+
+        derived_use_latents: latent mode for the fused FINAL forward
+        (defaults to use_latents). A held-latent phase of a
+        latent-optimizing stage must still derive its outputs with live
+        decode so latents updated by an EARLIER stage are reflected
+        (matches the pre-fusion per-stage forward, reference :434-445).
         """
+        if derived_use_latents is None:
+            derived_use_latents = use_latents
         cache_key = (stage_key, cam_mode, tuple(sorted(trainable)), opt_lr,
                      opt_niters, repr(sorted(loss_cfg.items())), use_latents,
-                     vmapped)
+                     vmapped, derived_use_latents)
         if cache_key in self._stage_cache:
             return self._stage_cache[cache_key]
 
@@ -566,7 +575,8 @@ class GlobalReconOptimizer:
             # instead of two (each dispatch is a round trip on a
             # tunneled accelerator)
             derived = recon_forward(params, const, smpl, flags, cam_mode,
-                                    joint_model=jm, use_latents=use_latents)
+                                    joint_model=jm,
+                                    use_latents=derived_use_latents)
             return params, hist, derived
 
         run = jax.jit(jax.vmap(run_core) if vmapped else run_core)
@@ -616,6 +626,7 @@ class GlobalReconOptimizer:
                 run = self._stage_fn(
                     stage, cam_mode, trainable, float(ss["opt_lr"]),
                     n_it, ss["loss_cfg"], use_latents=live, vmapped=vmapped,
+                    derived_use_latents=use_latents,
                 )
                 params, (h, uw), derived = run(params, const)
                 # one packed transfer instead of one per loss term (each

@@ -333,27 +333,8 @@ def trajpred_device_step_core(model: TrajPredVAE, tx, loss_cfg: dict, smpl,
 def make_infiller_multistep(model: MotionInfillerVAE, tx, loss_cfg: dict,
                             K: int, compute_dtype=None):
     """K-step fused infiller trainer: (state, batches (K,B,...), rng)."""
-    apply_fn = mixed_precision(model.apply, compute_dtype)
-
-    def loss_fn(params, batch, rng):
-        sample_rng, drop_rng = jax.random.split(rng)
-        out = apply_fn(
-            params, batch["in_body_pose"], batch["gt_body_pose"],
-            batch["frame_mask"], rng=sample_rng, deterministic=False,
-            rngs={"dropout": drop_rng},
-        )
-        total, uw = weighted_total({**batch, **out}, loss_cfg, infiller_loss_dict)
-        return total, uw
-
-    def step(state, batch, rng):
-        (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), {"loss": loss, **uw}
-
-    return make_multistep(step, K)
+    return make_multistep(
+        infiller_step_core(model, tx, loss_cfg, compute_dtype=compute_dtype), K)
 
 
 # -------------------------------------------------------------- kp lifter
@@ -463,28 +444,7 @@ def make_trajpred_device_step(model: TrajPredVAE, tx, loss_cfg: dict, smpl,
     trans (B,T,3), frame_loss_mask): joint positions (template FK) and the
     orientation quaternion are derived on-device inside the step, so the
     whole trajectory-predictor data path needs no host work."""
-    from ..transforms import angle_axis_to_quaternion
-    apply_fn = mixed_precision(model.apply, compute_dtype)
-
-    def loss_fn(params, batch, rng):
-        sample_rng, drop_rng = jax.random.split(rng)
-        joint_pos = smpl.joint_pos_from_body_pose(batch["pose"][..., 3:])
-        orient_q = angle_axis_to_quaternion(batch["pose"][..., :3])
-        out = apply_fn(
-            params, joint_pos, batch["trans"], orient_q,
-            rng=sample_rng, rngs={"dropout": drop_rng},
-        )
-        data = {**batch, **out, "orient_q": orient_q,
-                "frame_loss_mask": batch["frame_loss_mask"][..., 0]}
-        total, uw = weighted_total(data, loss_cfg, traj_pred_loss_dict)
-        return total, uw
-
-    def step(state: TrainState, batch, rng):
-        (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), {"loss": loss, **uw}
-
-    return jax.jit(step, donate_argnums=0)
+    return jax.jit(
+        trajpred_device_step_core(model, tx, loss_cfg, smpl,
+                                  compute_dtype=compute_dtype),
+        donate_argnums=0)

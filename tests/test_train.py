@@ -424,8 +424,10 @@ class TestFusedEpoch:
 
         def run(mesh):
             ds = DeviceSampler(data, mesh=mesh)
-            sample = lambda key: {
-                k: ds.sample_batch(key, B, W, None)[k] for k in keys}
+
+            def sample(key):
+                b = ds.sample_batch(key, B, W, None)
+                return {k: b[k] for k in keys}
             epoch = make_fused_epoch(core, sample, K, mesh=mesh)
             st = jax.tree.map(lambda x: x.copy(), state0)
             if mesh is not None:
