@@ -109,7 +109,8 @@ def fk_chain_channels(pose_T: jax.Array, rest_jcb: jax.Array, parents):
 
 def joints_fast_soa(smpl, global_orient: jax.Array, body_pose: jax.Array,
                     betas: jax.Array, root_trans: jax.Array | None = None,
-                    root_scale: jax.Array | None = None) -> jax.Array:
+                    root_scale: jax.Array | None = None,
+                    channels_out: bool = False) -> jax.Array:
     """Channel-leading subset skinning; same math/IO as SMPL.joints_fast
     (which mirrors reference smpl.py:318-343 joints + extra regressor).
 
@@ -174,6 +175,8 @@ def joints_fast_soa(smpl, global_orient: jax.Array, body_pose: jax.Array,
         else:
             joints = (joints - cur_root) * root_scale[None, None, :] \
                 + root_trans.T[None]
+    if channels_out:
+        return joints                                                # (Jp,3,B)
     return jnp.transpose(joints, (2, 0, 1))                          # (B,Jp,3)
 
 

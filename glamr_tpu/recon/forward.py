@@ -268,11 +268,21 @@ def compose_camera(params, const, flags: ReconFlags, cam_mode: str,
 
 def recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
                   cam_mode: str, joint_model=None,
-                  use_latents: bool = False) -> dict:
+                  use_latents: bool = False, channels: bool = False) -> dict:
     """The complete differentiable graph: residuals -> world traj -> camera
     -> SMPL joints -> 2D keypoints (reference forward :428-531). With
     use_latents, the CVAEs re-decode from the optimizable latent params
     inside the step (see cvae_pred).
+
+    channels=True: the SMPL-joints -> camera -> projection tail runs in
+    channel-leading (SoA) layout and `derived` carries
+    `kp_2d_pred_ch (2, K, P, T)` INSTEAD of the array-of-structs
+    `kp_2d_pred`/`joints_world` — the per-iteration loss path (the
+    keypoint losses dispatch on the _ch key). The (P,T,K,3)/(P,T,K,2)
+    tensors are the largest per-iteration intermediates and pay ~40x
+    lane padding in AoS form (see body/lbs_soa). Only valid at
+    lane-scale P*T under jit with use_pen_loss off; the once-per-stage
+    final forward uses channels=False for the output schema.
 
     Matmul precision is pinned to float32: on TPU the MXU defaults to
     bfloat16, which is fine for the CVAE transformers but loses ~1e-2 on
@@ -283,12 +293,34 @@ def recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
     """
     with jax.default_matmul_precision("float32"):
         return _recon_forward(params, const, smpl, flags, cam_mode,
-                              joint_model, use_latents)
+                              joint_model, use_latents, channels)
+
+
+def _project_channels(joints_ch, cam_pose, cam_K, eps: float = 1e-9):
+    """Camera transform + pinhole projection in channel form.
+
+    joints_ch (K, 3, P, T) world joints; cam_pose (T, 4, 4);
+    cam_K (P, T, 3, 3). Returns (2, K, P, T) pixel channels — the same
+    arithmetic as transform_trans + perspective_projection (camera.py),
+    with the channel slices of cam_pose/cam_K broadcasting over K and P.
+    """
+    X, Y, Z = joints_ch[:, 0], joints_ch[:, 1], joints_ch[:, 2]  # (K,P,T)
+    r = cam_pose
+    xc = r[:, 0, 0] * X + r[:, 0, 1] * Y + r[:, 0, 2] * Z + r[:, 0, 3]
+    yc = r[:, 1, 0] * X + r[:, 1, 1] * Y + r[:, 1, 2] * Z + r[:, 1, 3]
+    zc = r[:, 2, 0] * X + r[:, 2, 1] * Y + r[:, 2, 2] * Z + r[:, 2, 3]
+    z_safe = jnp.where(jnp.abs(zc) < eps,
+                       jnp.where(zc < 0, -eps, eps), zc)
+    px, py, pz = xc / z_safe, yc / z_safe, zc / z_safe
+    K = cam_K
+    u = K[:, :, 0, 0] * px + K[:, :, 0, 1] * py + K[:, :, 0, 2] * pz
+    v = K[:, :, 1, 0] * px + K[:, :, 1, 1] * py + K[:, :, 1, 2] * pz
+    return jnp.stack([u, v])                                     # (2,K,P,T)
 
 
 def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
                    cam_mode: str, joint_model=None,
-                   use_latents: bool = False) -> dict:
+                   use_latents: bool = False, channels: bool = False) -> dict:
     smpl_pose = const["smpl_pose"]
     traj_local_pred = None
     if use_latents and joint_model is not None:
@@ -311,15 +343,6 @@ def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
 
     # SMPL joints (subset skinning) + projection, batched over P*T
     P, T = orient_w.shape[:2]
-    joints = smpl.joints_fast(
-        orient_w.reshape(P * T, 3),
-        smpl_pose.reshape(P * T, -1),
-        const["smpl_beta"].reshape(P * T, -1),
-        root_trans=trans_w.reshape(P * T, 3),
-    ).reshape(P, T, -1, 3)
-    joints_cam = transform_trans(cam_pose[None], joints)
-    kp_2d_pred = perspective_projection(joints_cam, const["cam_K"])
-
     derived = {
         "traj_local": traj_local,
         "smpl_pose_used": smpl_pose,
@@ -330,9 +353,32 @@ def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
         "cam_pose_inv": cam_pose_inv,
         "smpl_orient_cam_in_world": orient_ciw,
         "root_trans_cam_in_world": trans_ciw,
-        "joints_world": joints,
-        "kp_2d_pred": kp_2d_pred,
     }
+    if channels and not flags.use_pen_loss:
+        from ..body.lbs_soa import joints_fast_soa
+
+        joints_ch = joints_fast_soa(
+            smpl,
+            orient_w.reshape(P * T, 3),
+            smpl_pose.reshape(P * T, -1),
+            const["smpl_beta"].reshape(P * T, -1),
+            root_trans=trans_w.reshape(P * T, 3),
+            channels_out=True,
+        )                                                # (K, 3, P*T)
+        joints_ch = joints_ch.reshape(joints_ch.shape[0], 3, P, T)
+        derived["kp_2d_pred_ch"] = _project_channels(
+            joints_ch, cam_pose, const["cam_K"])
+    else:
+        joints = smpl.joints_fast(
+            orient_w.reshape(P * T, 3),
+            smpl_pose.reshape(P * T, -1),
+            const["smpl_beta"].reshape(P * T, -1),
+            root_trans=trans_w.reshape(P * T, 3),
+        ).reshape(P, T, -1, 3)
+        joints_cam = transform_trans(cam_pose[None], joints)
+        kp_2d_pred = perspective_projection(joints_cam, const["cam_K"])
+        derived["joints_world"] = joints
+        derived["kp_2d_pred"] = kp_2d_pred
     if cam_rot_6d is not None:
         derived["cam_rot_6d"] = cam_rot_6d
         derived["cam_trans"] = cam_trans

@@ -43,16 +43,35 @@ def gmof(x: jax.Array, sigma: float) -> jax.Array:
 # keypoint losses
 # ---------------------------------------------------------------------------
 
+def _kp_diff_channels(data):
+    """(du, dv) channels (K, P, T) of predicted minus observed keypoints.
+
+    kp_2d_pred_ch is the per-iteration (params-derived) tensor; the
+    ground-truth transpose is a pure function of const, so XLA hoists it
+    out of the optimization scan — the channel layout costs nothing per
+    iteration while the (P,T,K,2) AoS form pays ~40x lane padding."""
+    pred = data["kp_2d_pred_ch"]                         # (2, K, P, T)
+    gt = jnp.transpose(data["kp_2d"], (3, 2, 0, 1))      # (2, K, P, T)
+    return pred[0] - gt[0], pred[1] - gt[1]
+
+
 def keypoint_2d_loss(data, specs):
     """(loss_func.py:15-36)"""
     min_conf = specs.get("min_conf", 0.05)
     ffo = specs.get("first_frame_only", False)
     ffw = specs.get("first_frame_weight", 1.0)
 
-    diff = data["kp_2d_pred"] - data["kp_2d"]            # (P, T, K, 2)
     score = data["kp_2d_score"]
     score = jnp.where(score < min_conf, 0.0, score)
-    loss = gmof(diff, 100.0).sum(-1) * score**2          # (P, T, K)
+    if "kp_2d_pred_ch" in data:
+        du, dv = _kp_diff_channels(data)
+        score_ch = jnp.transpose(score, (2, 0, 1))       # (K, P, T) hoisted
+        loss = (gmof(du, 100.0) + gmof(dv, 100.0)) * score_ch**2
+        loss_pt = loss.sum(0)                            # (P, T)
+    else:
+        diff = data["kp_2d_pred"] - data["kp_2d"]        # (P, T, K, 2)
+        loss = gmof(diff, 100.0).sum(-1) * score**2      # (P, T, K)
+        loss_pt = loss.sum(-1)
 
     rank = data["vis_rank"]                              # (P, T), -1 invisible
     w = data["vis_mask"]
@@ -60,7 +79,7 @@ def keypoint_2d_loss(data, specs):
     if ffo:
         w = w * (rank == 0)
     num_pose = jnp.maximum(data["n_vis"].sum(), 1.0)
-    return (loss.sum(-1) * w).sum() / num_pose
+    return (loss_pt * w).sum() / num_pose
 
 
 def keypoint_2d_dist(data, specs):
@@ -71,6 +90,11 @@ def keypoint_2d_dist(data, specs):
     if ffo:
         t_mask = jnp.zeros(sel.shape[1], bool).at[0].set(True)
         sel = sel & t_mask[None, :, None]
+    if "kp_2d_pred_ch" in data:
+        du, dv = _kp_diff_channels(data)
+        sel_ch = jnp.transpose(sel, (2, 0, 1))           # (K, P, T) hoisted
+        dist = jnp.sqrt(jnp.maximum(du**2 + dv**2, 1e-12))
+        return (dist * sel_ch).sum() / jnp.maximum(sel_ch.sum(), 1)
     diff = data["kp_2d_pred"] - data["kp_2d"]
     dist = jnp.sqrt(jnp.maximum((diff**2).sum(-1), 1e-12))
     return (dist * sel).sum() / jnp.maximum(sel.sum(), 1)

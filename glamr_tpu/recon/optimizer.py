@@ -550,8 +550,15 @@ class GlobalReconOptimizer:
         )
 
         def loss_fn(params, const):
+            # channel-leading joints/projection tail at lane-scale P*T
+            # (the keypoint losses dispatch on the kp_2d_pred_ch key);
+            # the once-per-stage final forward below stays AoS for the
+            # output schema
+            P, T = const["smpl_pose"].shape[:2]
+            use_ch = P * T >= 128 and not flags.use_pen_loss
             derived = recon_forward(params, const, smpl, flags, cam_mode,
-                                    joint_model=jm, use_latents=use_latents)
+                                    joint_model=jm, use_latents=use_latents,
+                                    channels=use_ch)
             data = {**const, **params, **derived}
             return compute_losses(data, loss_cfg)
 

@@ -156,6 +156,30 @@ class TestLosses:
         for k, v in uw.items():
             assert np.isfinite(float(v)), k
 
+    def test_channel_forward_matches_aos(self, in_dict, smpl_syn):
+        """channels=True forward (SoA joints -> projection tail) produces
+        the same keypoint losses as the AoS path (reassociation-level
+        tolerance), and its kp_2d_pred_ch is the transposed kp_2d_pred."""
+        cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        data = opt.init_data(in_dict)
+        params, const = data["params"], data["const"]
+        d_aos = recon_forward(params, const, smpl_syn, opt.flags, "hold")
+        d_ch = recon_forward(params, const, smpl_syn, opt.flags, "hold",
+                             channels=True)
+        assert "kp_2d_pred_ch" in d_ch and "kp_2d_pred" not in d_ch
+        pred_t = np.transpose(np.asarray(d_aos["kp_2d_pred"]), (3, 2, 0, 1))
+        np.testing.assert_allclose(np.asarray(d_ch["kp_2d_pred_ch"]), pred_t,
+                                   atol=2e-3)
+        m_aos = {**const, **params, **d_aos}
+        m_ch = {**const, **params, **d_ch}
+        for name, specs in (("kp_2d", {"weight": 1.0}),
+                            ("kp_2d_dist", {"weight": 1.0})):
+            from glamr_tpu.recon.losses import loss_func_dict
+            a = float(loss_func_dict[name](m_aos, specs))
+            b = float(loss_func_dict[name](m_ch, specs))
+            assert abs(a - b) <= 1e-3 * max(1.0, abs(a)), (name, a, b)
+
     def test_zero_residuals_reproduce_base(self, in_dict, smpl_syn):
         """With zero residuals the composed world traj equals the base."""
         cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
