@@ -562,20 +562,34 @@ class GlobalReconOptimizer:
             data = {**const, **params, **derived}
             return compute_losses(data, loss_cfg)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-        def step(carry, _):
-            params, opt_state, const = carry
-            (loss, loss_uw), grads = grad_fn(params, const)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, const), (loss, loss_uw)
-
         def run_core(params, const):
-            opt_state = tx.init(params)
-            (params, _, _), hist = jax.lax.scan(
-                step, (params, opt_state, const), None, length=opt_niters
+            # the Adam state lives on RAVELED leaves: the logical
+            # (P, T, c) residual shapes put their small trailing dims on
+            # the lane tile (~20-40x padding), and the optimizer touches
+            # every leaf ~10x per iteration (grads, m, v, update). Flat
+            # 1-D leaves make all of that lane-dense; the forward
+            # reshapes to logical shapes (2 padded copies per leaf
+            # instead of ~10 padded traversals).
+            shapes = {k: v.shape for k, v in params.items()}
+            flatten = lambda p: {k: v.reshape((-1,)) for k, v in p.items()}
+            unflatten = lambda p: {k: v.reshape(shapes[k])
+                                   for k, v in p.items()}
+
+            def flat_step(carry, x):
+                fp, opt_state, const = carry
+                (loss, loss_uw), fgrads = jax.value_and_grad(
+                    lambda q, c: loss_fn(unflatten(q), c),
+                    has_aux=True)(fp, const)
+                updates, opt_state = tx.update(fgrads, opt_state, fp)
+                fp = optax.apply_updates(fp, updates)
+                return (fp, opt_state, const), (loss, loss_uw)
+
+            fp = flatten(params)
+            opt_state = tx.init(fp)
+            (fp, _, _), hist = jax.lax.scan(
+                flat_step, (fp, opt_state, const), None, length=opt_niters
             )
+            params = unflatten(fp)
             # final forward fused into the same program: the stage's
             # derived outputs (world traj, camera, projected keypoints)
             # come back with the scan results — one dispatch per stage
