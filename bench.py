@@ -27,9 +27,13 @@ def main():
     import jax
 
     # persistent compile cache: production sweeps and repeat bench runs
-    # skip the (minutes-long over the TPU tunnel) compile entirely
+    # skip the (minutes-long over the TPU tunnel) compile entirely.
+    # Cache EVERYTHING: cold time is dominated by dozens of small helper
+    # programs, each under the default 1.0 s persistence threshold, so
+    # with the default they recompile every process
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     from __graft_entry__ import _synthetic_in_dict
     from glamr_tpu.body import get_smpl

@@ -9,6 +9,8 @@ import pickle
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", default="3dpw", choices=["3dpw", "h36m"])
     parser.add_argument("--cfg", default=None)

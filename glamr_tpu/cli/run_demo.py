@@ -12,6 +12,8 @@ import pickle
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default="glamr_static")
     parser.add_argument("--video_path", default=None)

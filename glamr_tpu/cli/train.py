@@ -41,6 +41,8 @@ def build_trajpred_batch(ds, rng, batch_size, smpl):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="motion_infiller",
                         choices=["motion_infiller", "traj_pred", "lifter",

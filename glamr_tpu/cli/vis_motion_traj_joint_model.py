@@ -10,6 +10,8 @@ import os
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default="joint_motion_traj_demo")
     parser.add_argument("--num_seq", type=int, default=3)

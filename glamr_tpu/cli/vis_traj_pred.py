@@ -8,6 +8,8 @@ import os
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", default="traj_pred_demo")
     parser.add_argument("--num_seq", type=int, default=3)

@@ -1,0 +1,31 @@
+"""Persistent XLA compile-cache configuration shared by every CLI.
+
+Cold start of the recon stage programs is minutes over a tunneled TPU and
+is dominated by DOZENS of small helper programs besides the big stage
+scan — each under jax's default 1.0 s persistence threshold, so with the
+defaults they recompile in every process and the cache never converges.
+Every entry point therefore calls enable_compile_cache() so one warmup
+run (`glamr-warmup`, cli/warmup.py) makes all subsequent run_demo /
+run_dataset / train invocations start warm.
+
+Precedence for the cache directory:
+  GLAMR_CACHE_DIR > JAX_COMPILATION_CACHE_DIR > ~/.cache/jax
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str:
+    """Point jax at a persistent compile cache and persist EVERYTHING
+    (no min-compile-time / min-size thresholds). Returns the directory."""
+    import jax
+
+    d = (cache_dir
+         or os.environ.get("GLAMR_CACHE_DIR")
+         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+         or os.path.expanduser("~/.cache/jax"))
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return d
