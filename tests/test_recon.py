@@ -3,6 +3,7 @@ and an end-to-end synthetic optimization run (loss must decrease, output
 schema must match the reference's out_dict contract)."""
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from glamr_tpu.body import get_smpl, smpl_to_body26fk_map
@@ -179,6 +180,31 @@ class TestLosses:
             a = float(loss_func_dict[name](m_aos, specs))
             b = float(loss_func_dict[name](m_ch, specs))
             assert abs(a - b) <= 1e-3 * max(1.0, abs(a)), (name, a, b)
+
+    def test_channel_loss_grads_match_aos(self, in_dict, smpl_syn):
+        """Gradients of the total loss w.r.t. the optimizable residuals
+        agree between the channel and AoS loss paths (equal values do not
+        imply equal grads; this is what the optimizer actually consumes)."""
+        cfg = FakeCfg(STAGE, {"flag_fixed_cam": True})
+        opt = GlobalReconOptimizer(cfg, smpl=smpl_syn)
+        data = opt.init_data(in_dict)
+        params, const = data["params"], data["const"]
+        loss_cfg = STAGE["init_opt"]["loss_cfg"]
+
+        def total(p, ch):
+            d = recon_forward(p, const, smpl_syn, opt.flags, "hold",
+                              channels=ch)
+            t, _ = compute_losses({**const, **p, **d}, loss_cfg)
+            return t
+
+        g_aos = jax.grad(lambda p: total(p, False))(params)
+        g_ch = jax.grad(lambda p: total(p, True))(params)
+        for k in g_aos:
+            a, b = np.asarray(g_aos[k]), np.asarray(g_ch[k])
+            scale = max(1e-6, float(np.abs(a).max()))
+            # different reduction orders (channel vs AoS sums over T*K)
+            # reassociate f32; observed max rel diff ~5e-4
+            np.testing.assert_allclose(b, a, atol=1e-3 * scale, err_msg=k)
 
     def test_zero_residuals_reproduce_base(self, in_dict, smpl_syn):
         """With zero residuals the composed world traj equals the base."""
