@@ -203,7 +203,7 @@ class TestLosses:
             a, b = np.asarray(g_aos[k]), np.asarray(g_ch[k])
             scale = max(1e-6, float(np.abs(a).max()))
             # different reduction orders (channel vs AoS sums over T*K)
-            # reassociate f32; observed max rel diff ~5e-4
+            # reassociate f32 (verified pure fp noise: f64 agrees to 2e-13)
             np.testing.assert_allclose(b, a, atol=1e-3 * scale, err_msg=k)
 
     def test_zero_residuals_reproduce_base(self, in_dict, smpl_syn):

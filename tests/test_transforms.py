@@ -298,3 +298,44 @@ class TestNumericalEdges:
         for scale in [1e-3, 1e-5, 0.0]:
             g = jax.grad(f)(jnp.full((3,), scale))
             assert np.isfinite(np.asarray(g)).all(), scale
+
+
+class TestTrajSoA:
+    def test_channel_codec_matches_aos(self, rng):
+        """transforms.traj_soa channel codec == the AoS codec (rot6d ->
+        quat via Gram-Schmidt+Shepperd, heading integration, quat->aa).
+        Measured as NOT profitable inside the recon scan for (P, T)
+        channel shapes (lane padding there is only ~2.5x and the extra
+        slice/stack traffic dominates — unlike the trailing-3x3 body
+        math); kept as the validated building block for layouts where a
+        bigger axis lands on lanes."""
+        import jax.numpy as jnp
+
+        from glamr_tpu.transforms import (quaternion_to_angle_axis,
+                                          rot6d_to_quat)
+        from glamr_tpu.transforms.traj import traj_local2global_heading
+        from glamr_tpu.transforms.traj_soa import (
+            quat_to_aa_ch, rot6d_to_quat_ch, traj_local2global_heading_ch)
+
+        P, T = 3, 41
+        tl = rng.normal(0, 0.5, (P, T, 11)).astype(np.float32)
+        tl[..., 9:11] += np.array([1.0, 0.0], np.float32)
+        tlj = jnp.asarray(tl)
+        trans_a, q_a = traj_local2global_heading(tlj)
+        trans_ch, q_ch = traj_local2global_heading_ch(
+            [tlj[..., i] for i in range(11)])
+        np.testing.assert_allclose(np.asarray(jnp.stack(trans_ch, -1)),
+                                   np.asarray(trans_a), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jnp.stack(q_ch, -1)),
+                                   np.asarray(q_a), atol=1e-5)
+
+        r6 = rng.normal(0, 1, (64, 6)).astype(np.float32)
+        r6[0] = [1, 0, 0, 0, 1, 0]  # identity (degenerate-guard path)
+        qa = rot6d_to_quat(jnp.asarray(r6))
+        qb = jnp.stack(rot6d_to_quat_ch(
+            [jnp.asarray(r6[:, i]) for i in range(6)]), -1)
+        np.testing.assert_allclose(np.asarray(qb), np.asarray(qa), atol=1e-6)
+        aa_a = quaternion_to_angle_axis(qa)
+        aa_b = jnp.stack(quat_to_aa_ch([qb[..., i] for i in range(4)]), -1)
+        np.testing.assert_allclose(np.asarray(aa_b), np.asarray(aa_a),
+                                   atol=1e-6)
