@@ -604,9 +604,18 @@ class GlobalReconOptimizer:
         self._stage_cache[cache_key] = run
         return run
 
-    def _run_schedule(self, params, const, seq_name, vmapped: bool):
+    def _run_schedule(self, params, const, seq_name, vmapped: bool,
+                      collect=None):
         """Run the configured stage schedule (shared by the serial and
-        vmapped entry points). Returns (params, const, derived)."""
+        vmapped entry points). Returns (params, const, derived).
+
+        collect: optional list — when given, per-stage loss histories are
+        NOT fetched here; device refs are appended as
+        (stage, ss, hists, uw_hists, t_start) so the caller can fetch
+        them in the SAME packed transfer as the outputs (one tunnel
+        round trip per optimize instead of one per stage) and log via
+        _flush_stage_logs afterwards.
+        """
         derived = None
         for stage, ss in self.opt_stage_specs.items():
             opt_variables = ss["opt_variables"]
@@ -650,25 +659,21 @@ class GlobalReconOptimizer:
                     derived_use_latents=use_latents,
                 )
                 params, (h, uw), derived = run(params, const)
+                if collect is not None:
+                    hists.append(h)
+                    uw_hists.append(uw)
+                    continue
                 # one packed transfer instead of one per loss term (each
                 # transfer is a full round-trip on a tunneled device)
                 h_host, uw_host = device_get_tree((h, uw))
                 hists.append(h_host)
                 uw_hists.append(uw_host)
-            # history axes: serial (niters,), vmapped (batch, niters)
-            loss_hist = np.concatenate(hists, axis=-1)
-            elapsed = time.time() - t0
-            if vmapped:
-                self.log.info(
-                    f"{self.cfg.id} - {seq_name} - {stage} | "
-                    f"{loss_hist.shape[0]} runs x {niters} iters in "
-                    f"{convert_sec_to_time(elapsed)} | mean loss "
-                    f"{loss_hist[:, 0].mean():.3f} -> {loss_hist[:, -1].mean():.3f}")
+            if collect is not None:
+                collect.append((stage, ss, hists, uw_hists, t0))
             else:
-                loss_uw_hist = {k: np.concatenate([u[k] for u in uw_hists])
-                                for k in uw_hists[0]}
-                self._log_stage(seq_name, stage, ss, loss_hist,
-                                loss_uw_hist, elapsed)
+                self._log_schedule_stage(seq_name, stage, ss, hists,
+                                         uw_hists, time.time() - t0,
+                                         vmapped)
 
             # thread the stage's final camera into subsequent stages
             # (derived comes from the forward fused into the stage program)
@@ -680,6 +685,24 @@ class GlobalReconOptimizer:
             const["cam_pose_init"] = cam_pose
         return params, const, derived
 
+    def _log_schedule_stage(self, seq_name, stage, ss, hists, uw_hists,
+                            elapsed, vmapped):
+        """Log one stage from HOST history arrays."""
+        niters = int(ss["opt_niters"])
+        # history axes: serial (niters,), vmapped (batch, niters)
+        loss_hist = np.concatenate(hists, axis=-1)
+        if vmapped:
+            self.log.info(
+                f"{self.cfg.id} - {seq_name} - {stage} | "
+                f"{loss_hist.shape[0]} runs x {niters} iters in "
+                f"{convert_sec_to_time(elapsed)} | mean loss "
+                f"{loss_hist[:, 0].mean():.3f} -> {loss_hist[:, -1].mean():.3f}")
+        else:
+            loss_uw_hist = {k: np.concatenate([u[k] for u in uw_hists])
+                            for k in uw_hists[0]}
+            self._log_stage(seq_name, stage, ss, loss_hist,
+                            loss_uw_hist, elapsed)
+
     def optimize(self, in_dict: dict, continue_opt: bool = False,
                  seed: int = 0, pad_to: int = 0) -> dict:
         data = in_dict if continue_opt else self.init_data(in_dict, seed, pad_to)
@@ -688,10 +711,25 @@ class GlobalReconOptimizer:
         const = jax.device_put(data["const"], dev)
         params = jax.device_put(data["params"], dev)
         self._param_keys = list(params.keys())
+        # loss histories stay on device until the output fetch: they ride
+        # the same packed transfer as the results (one tunnel round trip
+        # per optimize instead of an extra one per stage), then log
+        pending: list = []
         params, const, derived = self._run_schedule(
-            params, const, data["seq_name"], vmapped=False)
+            params, const, data["seq_name"], vmapped=False, collect=pending)
         data["const"], data["params"] = const, params
-        return self._build_output(data, derived, params, const)
+        hist_refs = [(p[2], p[3]) for p in pending]
+        out, hist_host = self._build_output(data, derived, params, const,
+                                            extra_fetch=hist_refs)
+        t_end = time.time()
+        for i, ((stage, ss, _, _, t0), (hs, uws)) in enumerate(
+                zip(pending, hist_host)):
+            # wall-clock from this stage's dispatch to the next (device
+            # work overlaps host code under async dispatch)
+            t1 = pending[i + 1][4] if i + 1 < len(pending) else t_end
+            self._log_schedule_stage(data["seq_name"], stage, ss, hs, uws,
+                                     t1 - t0, False)
+        return out
 
     def _optimize_stacked(self, datas, seq_name, mesh=None):
         """Stack prepared data dicts on a leading axis and run the whole
@@ -770,20 +808,23 @@ class GlobalReconOptimizer:
 
     # ---------------------------------------------------------------- output
 
-    def _build_output(self, data, derived, params, const) -> dict:
+    def _build_output(self, data, derived, params, const, extra_fetch=None):
         """Reference-compatible out_dict (consumed by the visualizer,
         evaluator and pickle caching; reference returns tensor_to_numpy(data)
-        at :588)."""
+        at :588). extra_fetch: optional pytree of device arrays fetched in
+        the SAME packed transfer; returns (out, extra_host) when given."""
         bp: BatchedPersons = data["bp"]
         P, T = bp.num_persons, bp.num_fr
         # fetch everything the output needs in one packed transfer
-        d, smpl_pose_used, orient_base, trans_base, fr_np = device_get_tree((
-            derived,
-            derived.get("smpl_pose_used", const["smpl_pose"]),
-            const["smpl_orient_world_base"],
-            const["root_trans_world_base"],
-            const["fr_num_persons"],
-        ))
+        d, smpl_pose_used, orient_base, trans_base, fr_np, extra_host = \
+            device_get_tree((
+                derived,
+                derived.get("smpl_pose_used", const["smpl_pose"]),
+                const["smpl_orient_world_base"],
+                const["root_trans_world_base"],
+                const["fr_num_persons"],
+                extra_fetch,
+            ))
         person_data = {}
         for p, pid in enumerate(bp.person_ids):
             person_data[pid] = {
@@ -806,7 +847,7 @@ class GlobalReconOptimizer:
                 "traj_local": d["traj_local"][p],
                 "kp_2d_pred": d["kp_2d_pred"][p],
             }
-        return {
+        out = {
             "seq_name": data["seq_name"],
             "person_data": person_data,
             "seq_len": T,
@@ -816,3 +857,6 @@ class GlobalReconOptimizer:
             "gt": data["gt"], "gt_meta": data["gt_meta"],
             "meta": {"algo": "global_recon", "num_fr": T},
         }
+        if extra_fetch is not None:
+            return out, extra_host
+        return out
