@@ -102,6 +102,11 @@ def main(argv=None):
         # and the same jitted step runs SPMD everywhere (SURVEY §2.9 —
         # replaces torch.distributed/NCCL process groups)
         jax.distributed.initialize()
+    # host-side side effects (run dir, metric loggers, checkpoints) happen
+    # on process 0 only — every host computes the same replicated state, so
+    # N processes writing the same files is pure write-racing (the
+    # reference's DDP trainer likewise logs/saves on rank 0 only)
+    is_primary = not args.multihost or jax.process_index() == 0
     if args.debug:
         jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
@@ -134,17 +139,21 @@ def main(argv=None):
     lr = float(cfg.get("lr", 1e-3))
     clip = float(cfg.get("gradient_clip_val", 5.0))
 
-    # versioned run dir (reference train.py:75-88)
+    # versioned run dir (reference train.py:75-88), created by process 0
     base = os.path.join(cfg.get("results_root_dir", "results"), cfg.id)
     version = find_last_version(base) + 1
     run_dir = os.path.join(base, f"version_{version}")
     cp_dir = os.path.join(run_dir, "checkpoints")
-    os.makedirs(cp_dir, exist_ok=True)
-    log = create_logger(os.path.join(run_dir, "log.txt"))
-    log.info(f"training {args.model} ({cfg.id}) -> {run_dir}")
-    mlog = MetricsLogger(run_dir, use_tb=bool(args.tensorboard),
-                         wandb_project=args.wandb_project,
-                         wandb_run_name=f"{cfg.id}_v{version}")
+    if is_primary:
+        os.makedirs(cp_dir, exist_ok=True)
+        log = create_logger(os.path.join(run_dir, "log.txt"))
+        log.info(f"training {args.model} ({cfg.id}) -> {run_dir}")
+        mlog = MetricsLogger(run_dir, use_tb=bool(args.tensorboard),
+                             wandb_project=args.wandb_project,
+                             wandb_run_name=f"{cfg.id}_v{version}")
+    else:
+        log = create_logger(None)
+        mlog = MetricsLogger(run_dir, use_tb=False)
 
     # data
     if args.synthetic_data:
@@ -328,18 +337,21 @@ def main(argv=None):
             "time/sec_per_epoch": dt,
         })
 
-        host_state = jax.device_get(state)
         if val_loss < best_val:
             best_val = val_loss
-            save_checkpoint(os.path.join(cp_dir, "best.pkl"), host_state)
-        if (epoch + 1) % save_n == 0 or epoch == epochs - 1:
-            save_checkpoint(os.path.join(cp_dir, f"epoch={epoch}.pkl"), host_state)
+            if is_primary:
+                save_checkpoint(os.path.join(cp_dir, "best.pkl"),
+                                jax.device_get(state))
+        if is_primary and ((epoch + 1) % save_n == 0 or epoch == epochs - 1):
+            save_checkpoint(os.path.join(cp_dir, f"epoch={epoch}.pkl"),
+                            jax.device_get(state))
     except (KeyboardInterrupt, Exception) as e:
         # failure recovery (SURVEY §5.3 gap in the reference): always
         # leave a resumable checkpoint behind, whatever interrupted us
-        emergency = os.path.join(cp_dir, "interrupted.pkl")
-        save_checkpoint(emergency, jax.device_get(state))
-        log.info(f"interrupted ({type(e).__name__}); wrote {emergency}")
+        if is_primary:
+            emergency = os.path.join(cp_dir, "interrupted.pkl")
+            save_checkpoint(emergency, jax.device_get(state))
+            log.info(f"interrupted ({type(e).__name__}); wrote {emergency}")
         raise
     if args.profile:
         jax.profiler.stop_trace()

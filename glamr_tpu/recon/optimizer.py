@@ -614,7 +614,7 @@ class GlobalReconOptimizer:
         (stage, ss, hists, uw_hists, t_start) so the caller can fetch
         them in the SAME packed transfer as the outputs (one tunnel
         round trip per optimize instead of one per stage) and log via
-        _flush_stage_logs afterwards.
+        _log_schedule_stage afterwards.
         """
         derived = None
         for stage, ss in self.opt_stage_specs.items():
@@ -686,22 +686,31 @@ class GlobalReconOptimizer:
         return params, const, derived
 
     def _log_schedule_stage(self, seq_name, stage, ss, hists, uw_hists,
-                            elapsed, vmapped):
-        """Log one stage from HOST history arrays."""
+                            elapsed, vmapped, dispatch_timing=False):
+        """Log one stage from HOST history arrays.
+
+        dispatch_timing: the elapsed value is dispatch-to-dispatch under
+        JAX async dispatch (warm stages log near-zero; the final stage
+        absorbs the schedule's device time at the blocking output fetch)
+        — label it so the per-stage lines aren't read as device time.
+        """
         niters = int(ss["opt_niters"])
+        tstr = convert_sec_to_time(elapsed) + (
+            " (dispatch latency; device time lands on the last stage)"
+            if dispatch_timing else "")
         # history axes: serial (niters,), vmapped (batch, niters)
         loss_hist = np.concatenate(hists, axis=-1)
         if vmapped:
             self.log.info(
                 f"{self.cfg.id} - {seq_name} - {stage} | "
                 f"{loss_hist.shape[0]} runs x {niters} iters in "
-                f"{convert_sec_to_time(elapsed)} | mean loss "
+                f"{tstr} | mean loss "
                 f"{loss_hist[:, 0].mean():.3f} -> {loss_hist[:, -1].mean():.3f}")
         else:
             loss_uw_hist = {k: np.concatenate([u[k] for u in uw_hists])
                             for k in uw_hists[0]}
             self._log_stage(seq_name, stage, ss, loss_hist,
-                            loss_uw_hist, elapsed)
+                            loss_uw_hist, elapsed, tstr=tstr)
 
     def optimize(self, in_dict: dict, continue_opt: bool = False,
                  seed: int = 0, pad_to: int = 0) -> dict:
@@ -728,7 +737,8 @@ class GlobalReconOptimizer:
             # work overlaps host code under async dispatch)
             t1 = pending[i + 1][4] if i + 1 < len(pending) else t_end
             self._log_schedule_stage(data["seq_name"], stage, ss, hs, uws,
-                                     t1 - t0, False)
+                                     t1 - t0, False,
+                                     dispatch_timing=len(pending) > 1)
         return out
 
     def _optimize_stacked(self, datas, seq_name, mesh=None):
@@ -794,7 +804,8 @@ class GlobalReconOptimizer:
         name = "+".join(j[0].get("seq_name", "seq") for j in jobs[:3])
         return self._optimize_stacked(datas, name, mesh=mesh)
 
-    def _log_stage(self, seq_name, stage, ss, loss_hist, loss_uw, elapsed):
+    def _log_stage(self, seq_name, stage, ss, loss_hist, loss_uw, elapsed,
+                   tstr=None):
         n = len(loss_hist)
         for i in range(0, n, max(n // 10, 1)):
             terms = " | ".join(f"{k}: {v[i]:7.3f}" for k, v in sorted(loss_uw.items()))
@@ -803,7 +814,8 @@ class GlobalReconOptimizer:
             )
         self.log.info(
             f"{self.cfg.id} - {seq_name} - {stage} | done {n} iters in "
-            f"{convert_sec_to_time(elapsed)} | loss {loss_hist[0]:.3f} -> {loss_hist[-1]:.3f}"
+            f"{tstr or convert_sec_to_time(elapsed)} | "
+            f"loss {loss_hist[0]:.3f} -> {loss_hist[-1]:.3f}"
         )
 
     # ---------------------------------------------------------------- output

@@ -43,8 +43,9 @@ class MetricsLogger:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self.tb = SummaryWriter(os.path.join(run_dir, "tb"))
-            except Exception:
-                self.tb = None
+            except Exception as e:
+                logging.getLogger("glamr_tpu").warning(
+                    f"TensorBoard logging disabled ({type(e).__name__}: {e})")
         self.wandb = None
         if wandb_project:
             try:
@@ -52,8 +53,10 @@ class MetricsLogger:
 
                 self.wandb = wandb.init(project=wandb_project,
                                         name=wandb_run_name, dir=run_dir)
-            except Exception:
-                self.wandb = None
+            except Exception as e:
+                logging.getLogger("glamr_tpu").warning(
+                    f"wandb logging to project {wandb_project!r} disabled "
+                    f"({type(e).__name__}: {e})")
 
     def log_scalars(self, step: int, scalars: dict):
         if self.tb is not None:
