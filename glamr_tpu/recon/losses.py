@@ -63,6 +63,27 @@ def keypoint_2d_loss(data, specs):
 
     score = data["kp_2d_score"]
     score = jnp.where(score < min_conf, 0.0, score)
+    rank = data["vis_rank"]                              # (P, T), -1 invisible
+    num_pose = jnp.maximum(data["n_vis"].sum(), 1.0)
+
+    if ffo:
+        # reference :27-33 with first_frame_only: `loss = loss[[0]]` keeps
+        # the (1, K, 2) first-VISIBLE-frame row but the subsequent
+        # `(loss.sum(-1) * score**2).sum()` broadcasts it against the
+        # (n_vis, K) score array — the first frame's per-keypoint robust
+        # error is weighted by the SUM over visible frames of score^2
+        # (differentially pinned in tests/test_ref_stage4_parity.py)
+        first = (rank == 0).astype(score.dtype)          # (P, T)
+        s2 = ((score**2) * data["vis_mask"][..., None]).sum(1)   # (P, K)
+        if "kp_2d_pred_ch" in data:
+            du, dv = _kp_diff_channels(data)
+            lk = ((gmof(du, 100.0) + gmof(dv, 100.0))
+                  * first[None]).sum(-1)                 # (K, P, T) -> (K, P)
+            return ffw * (lk * s2.T).sum() / num_pose
+        diff = data["kp_2d_pred"] - data["kp_2d"]        # (P, T, K, 2)
+        lk = (gmof(diff, 100.0).sum(-1) * first[..., None]).sum(1)  # (P, K)
+        return ffw * (lk * s2).sum() / num_pose
+
     if "kp_2d_pred_ch" in data:
         du, dv = _kp_diff_channels(data)
         score_ch = jnp.transpose(score, (2, 0, 1))       # (K, P, T) hoisted
@@ -73,12 +94,8 @@ def keypoint_2d_loss(data, specs):
         loss = gmof(diff, 100.0).sum(-1) * score**2      # (P, T, K)
         loss_pt = loss.sum(-1)
 
-    rank = data["vis_rank"]                              # (P, T), -1 invisible
     w = data["vis_mask"]
     w = w * jnp.where((rank >= 0) & (rank < 10), ffw, 1.0)
-    if ffo:
-        w = w * (rank == 0)
-    num_pose = jnp.maximum(data["n_vis"].sum(), 1.0)
     return (loss_pt * w).sum() / num_pose
 
 
@@ -266,8 +283,14 @@ def cam_inv_trans_residual_reg(data, specs):
 
 
 def person2cam_res_trans_reg(data, specs):
-    x = data["person2cam_res_trans"]
-    return ((x * FPS) ** 2).sum() / x.shape[0]
+    """Latent reference bug, resolved here: the reference registers this
+    as reg_loss_global(data, 'person2cam_res_trans') (loss_func.py:244)
+    but the residual only ever exists per-person in pose_dict
+    (global_recon_model.py:175), so the reference loss KeyErrors if
+    enabled — no shipped config uses it. Implemented with reg_loss-style
+    per-row normalization (total sum / total rows)."""
+    x = data["person2cam_res_trans"]                       # (P, T, 3)
+    return ((x * FPS) ** 2).sum() / (x.shape[0] * x.shape[1])
 
 
 def motion_latent_reg_loss(data, specs):

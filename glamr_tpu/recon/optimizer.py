@@ -464,7 +464,7 @@ class GlobalReconOptimizer:
         for p in range(P):
             tf_w = np.einsum("tij,tjk->tik", cam_pose_inv, person_tf_cam[p])
             trans = tf_w[:, :3, 3].copy()
-            orient_q = np.asarray(
+            orient_q = np.array(  # writable: last_pose edits rows in place
                 rotation_matrix_to_quaternion(jnp.asarray(tf_w[:, :3, :3]))
             )
             vis = bp.visible[p] > 0
