@@ -4,23 +4,33 @@ the BASELINE.json flagship workload.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Scope matches the reference demo pipeline (run_demo.py:52-82 ->
+global_recon_model.py:153-159,353): the timed optimize() includes the
+CVAE half of the flagship graph — motion-infiller window scans +
+trajectory-predictor decode during init (flag_infer_motion_traj stays
+active; the joint model is loaded from trained checkpoints when present,
+randomly-initialized otherwise — identical compute either way) — plus
+all optimization stages. The optimization-core-only number (no joint
+model, the round-1 headline) is reported on stderr for comparison.
+
 value = frames/sec of the full optimize() call with a warm compile cache
 (production sweeps — run_dataset over 24 sequences x seeds — reuse the
 compiled stage program across sequences, so warm throughput is the
 production number; cold time incl. compile is reported on stderr).
 
-vs_baseline: the reference publishes no numbers (BASELINE.json
-"published": {}); baseline is an estimate of the PyTorch reference on its
-own hardware: the reference runs 500 sequential Adam closures, each a
-full-sequence 6890-vertex SMPL LBS fwd+bwd plus per-window CVAE Python
-loops; public GLAMR issue reports put the 30 s demo at ~15 min on a
-modern GPU => ~1 frame/sec. vs_baseline = value / 1.0.
+vs_baseline: value / measured reference throughput. BASELINE.json
+"measured" records the PyTorch reference (/root/reference
+global_recon_model.py optimize, real unbound methods, torch CPU — see
+scripts/measure_ref_baseline.py + BASELINE.md for methodology) on THIS
+machine and the SAME synthetic workload; that measurement excludes the
+reference's CVAE inference (no trained torch checkpoints exist here), so
+it under-counts reference cost => vs_baseline is conservative. Falls
+back to the 1 fps public-issue-report estimate if no measurement exists.
 """
 import json
+import os
 import sys
 import time
-
-import numpy as np
 
 
 def main():
@@ -37,6 +47,7 @@ def main():
 
     from __graft_entry__ import _synthetic_in_dict
     from glamr_tpu.body import get_smpl
+    from glamr_tpu.models import load_joint_model
     from glamr_tpu.recon import GlobalReconOptimizer
     from glamr_tpu.utils import Config
 
@@ -44,7 +55,11 @@ def main():
     in_dict = _synthetic_in_dict(T=T, P=P)
     cfg = Config("glamr_static")
     smpl = get_smpl("body26fk")  # real SMPL if model files present, else synthetic
-    opt = GlobalReconOptimizer(cfg, smpl=smpl)
+
+    jm = load_joint_model(Config(cfg.grecon_model_specs["motion_traj_cfg"]),
+                          smpl=smpl)
+    opt = GlobalReconOptimizer(cfg, joint_model=jm, smpl=smpl)
+    assert opt.flag_infer_motion_traj, "CVAE half must be in the timed graph"
 
     t0 = time.time()
     opt.optimize(in_dict)
@@ -62,12 +77,36 @@ def main():
     print(f"warm optimize (median of {len(times)}): {warm:.2f}s "
           f"(all: {[round(t, 3) for t in times]})", file=sys.stderr)
 
+    # optimization-core-only comparison point (round-1 headline scope)
+    core_opt = GlobalReconOptimizer(cfg, smpl=smpl)
+    core_in = _synthetic_in_dict(T=T, P=P)
+    core_opt.optimize(core_in)
+    t0 = time.time()
+    core_opt.optimize(core_in)
+    core_warm = time.time() - t0
+    print(f"core-only warm optimize (no CVAE): {core_warm:.2f}s "
+          f"({T / core_warm:.0f} fps)", file=sys.stderr)
+
+    baseline_fps = 1.0  # estimate fallback (public issue reports, ~1 fps)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            measured = json.load(f).get("measured", {})
+        if "reference_fps" in measured:
+            baseline_fps = float(measured["reference_fps"])
+            print(f"baseline: measured reference {baseline_fps:.3f} fps "
+                  f"({measured.get('methodology', '')})", file=sys.stderr)
+    except Exception as e:
+        print(f"baseline read failed ({e}); using 1 fps estimate",
+              file=sys.stderr)
+
     fps = T / warm
     print(json.dumps({
-        "metric": "end-to-end video frames/sec (30s 30fps clip, glamr_static 500 iters)",
+        "metric": "end-to-end video frames/sec incl. CVAE infer "
+                  "(30s 30fps clip, glamr_static 500 iters)",
         "value": round(fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 1.0, 2),
+        "vs_baseline": round(fps / baseline_fps, 2),
     }))
 
 
