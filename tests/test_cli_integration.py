@@ -6,6 +6,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; quick signal: pytest -m 'not slow'
+
 import jax.numpy as jnp
 
 from glamr_tpu.body import get_smpl, smpl_to_body26fk_map

@@ -6,6 +6,8 @@ stage is jit-compiled in this process."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; quick signal: pytest -m 'not slow'
+
 
 @pytest.mark.slow
 def test_video_pose_est_to_recon(tmp_path):

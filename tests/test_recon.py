@@ -3,6 +3,8 @@ and an end-to-end synthetic optimization run (loss must decrease, output
 schema must match the reference's out_dict contract)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; quick signal: pytest -m 'not slow'
 import jax
 import jax.numpy as jnp
 

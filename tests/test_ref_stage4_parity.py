@@ -40,6 +40,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # differential torch suite; quick signal: pytest -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

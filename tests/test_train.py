@@ -2,6 +2,8 @@
 steps on the virtual 8-device mesh (loss decreases over a few steps)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; quick signal: pytest -m 'not slow'
 import jax
 import jax.numpy as jnp
 
