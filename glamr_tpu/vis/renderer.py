@@ -1,19 +1,26 @@
 """Offscreen 3D animation renderer (reference: lib/utils/visualizer3d.py,
-a pyvista/VTK window loop). This implementation renders with a software
-painter's-algorithm rasterizer on top of an intrinsics-matched pinhole
-camera — no GL/X dependency — and writes videos via cv2. The public
-surface mirrors the reference: subclass, override update_scene(frame),
-call save_animation_as_video().
+a pyvista/VTK window loop). This implementation renders with a fully
+vectorized software z-buffer rasterizer on top of an intrinsics-matched
+pinhole camera — no GL/X dependency — and writes videos via cv2. The
+public surface mirrors the reference: subclass, override
+update_scene(frame), call save_animation_as_video().
+
+Rasterization strategy (numpy, no per-triangle Python loop): all mesh
+triangles are projected in one batch, bucketed by screen-bbox size so the
+fixed K x K candidate grids waste little area, barycentric-tested in bulk,
+and resolved with a global back-to-front sorted scatter into the frame
+(nearest fragment writes last == z-buffer). Translucent meshes render as
+separate depth-tested layers composited once per mesh rather than the
+painter's per-triangle full-image blend.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
 import cv2
 import numpy as np
-
-from .video import frames_to_video
 
 
 @dataclass
@@ -61,17 +68,21 @@ class Camera:
 
 
 class Visualizer3D:
-    """Painter's-algorithm scene renderer.
+    """Vectorized z-buffer scene renderer.
 
-    Per frame, actors submit triangles / line segments / points; the
-    renderer depth-sorts triangles and draws back-to-front. Subclasses
-    override update_scene(fr) and use add_mesh/add_lines/add_points.
+    Per frame, actors submit triangles / line segments / points; meshes
+    rasterize through a batched barycentric z-buffer (no per-triangle
+    Python loop), lines/points draw on top via cv2. Subclasses override
+    update_scene(fr) and use add_mesh/add_lines/add_points.
     """
 
     def __init__(self, width: int = 960, height: int = 540,
                  background=(28, 28, 34), show_ground: bool = True,
-                 ground_z: float = 0.0):
+                 ground_z: float = 0.0, supersample: int = 2):
         self.width, self.height = width, height
+        # z-buffer rasterization renders at supersample x resolution and
+        # area-downsamples for anti-aliasing (2 = 4 fragments per pixel)
+        self.supersample = max(int(supersample), 1)
         self.background = np.array(background, np.uint8)
         self.show_ground = show_ground
         self.ground_z = ground_z
@@ -129,6 +140,116 @@ class Visualizer3D:
         p0, p1 = uv.astype(int)
         cv2.line(img, tuple(p0), tuple(p1), color, thickness, cv2.LINE_AA)
 
+    def _mesh_fragments(self, verts, faces, color, scale: int):
+        """Project one mesh and emit its candidate fragments.
+
+        Returns (pix_idx, z, rgb) flat arrays of every covered pixel of
+        every front-facing triangle at the supersampled resolution, or
+        None when nothing is visible. Vectorized over triangles: bboxes
+        are bucketed into power-of-two K x K candidate grids so small
+        triangles (the SMPL-mesh common case) don't pay for large ones.
+        """
+        cam = self.camera
+        W, H = self.width * scale, self.height * scale
+        uv, z = cam.project(verts)
+        uv = uv * scale
+        tz = z[faces]                                    # (F, 3)
+        keep = (tz > 0.05).all(axis=1)
+        if not keep.any():
+            return None
+        tuv = uv[faces][keep]                            # (F, 3, 2)
+        tz = tz[keep]
+        # flat lambert shade from face normal vs view dir (as before)
+        v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        nrm = np.cross(v1 - v0, v2 - v0)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-9
+        shade = (0.4 + 0.6 * np.abs(nrm @ cam.pose[2, :3]))[keep]
+        rgb = np.clip(color[None, :] * shade[:, None], 0, 255
+                      ).astype(np.uint8)                         # (F, 3)
+
+        # screen bboxes, clipped to the image
+        x0 = np.clip(np.floor(tuv[..., 0].min(1)), 0, W - 1).astype(np.int64)
+        x1 = np.clip(np.ceil(tuv[..., 0].max(1)), 0, W - 1).astype(np.int64)
+        y0 = np.clip(np.floor(tuv[..., 1].min(1)), 0, H - 1).astype(np.int64)
+        y1 = np.clip(np.ceil(tuv[..., 1].max(1)), 0, H - 1).astype(np.int64)
+        ext = np.maximum(x1 - x0, y1 - y0) + 1           # bbox side (px)
+        # signed doubled area; cull degenerates
+        e01 = tuv[:, 1] - tuv[:, 0]
+        e02 = tuv[:, 2] - tuv[:, 0]
+        area = e01[:, 0] * e02[:, 1] - e01[:, 1] * e02[:, 0]
+        ok = (np.abs(area) > 1e-12) & (x1 >= x0) & (y1 >= y0)
+
+        tuv = tuv.astype(np.float32)
+        tz = tz.astype(np.float32)
+        inv_area = (1.0 / area).astype(np.float32)       # sign-corrects too
+        x0f = x0.astype(np.float32)
+        y0f = y0.astype(np.float32)
+        inv_tz = (1.0 / tz).astype(np.float32)
+
+        def raster(sel, K):
+            """Barycentric-test a K x K candidate grid at each selected
+            triangle's bbox origin; append covered fragments. All math in
+            float32; depth interpolated only at covered pixels."""
+            A, B, C = (tuv[sel, i] for i in range(3))    # (f, 2) each
+            iar = inv_area[sel][:, None, None]
+            g = np.arange(K, dtype=np.float32) + np.float32(0.5)
+            px = x0f[sel, None, None] + g[None, None, :]     # (f, 1, K)
+            py = y0f[sel, None, None] + g[None, :, None]     # (f, K, 1)
+            def edge(P, Q):
+                # broadcasts (f,1,K) x (f,K,1) -> (f,K,K)
+                return ((Q[:, 0, None, None] - P[:, 0, None, None])
+                        * (py - P[:, 1, None, None])
+                        - (Q[:, 1, None, None] - P[:, 1, None, None])
+                        * (px - P[:, 0, None, None]))
+            w0 = edge(B, C) * iar
+            w1 = edge(C, A) * iar
+            w2 = edge(A, B) * iar
+            inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                      & (px < W) & (py < H))
+            if not inside.any():
+                return
+            fi, yi, xi = np.nonzero(inside)
+            # perspective-correct depth (interpolate 1/z), fragments only
+            it = inv_tz[sel]
+            zi = 1.0 / (w0[fi, yi, xi] * it[fi, 0]
+                        + w1[fi, yi, xi] * it[fi, 1]
+                        + w2[fi, yi, xi] * it[fi, 2])
+            out_idx.append((y0[sel][fi] + yi) * W + (x0[sel][fi] + xi))
+            out_z.append(zi)
+            out_rgb.append(rgb[sel][fi])
+
+        out_idx, out_z, out_rgb = [], [], []
+        lo = 1
+        for K in (4, 8, 16, 32, 64, 128, 192, 256, 384, 512):
+            sel = ok & (ext >= lo) & (ext <= K)
+            lo = K + 1
+            if sel.any():
+                raster(sel, K)
+        # beyond 512 px (extreme close-ups): exact bbox, one at a time —
+        # rare, and bounded at roughly one image of memory each
+        for t in np.nonzero(ok & (ext > 512))[0]:
+            sel = np.zeros(ok.shape, bool)
+            sel[t] = True
+            raster(sel, int(ext[t]))
+        if not out_idx:
+            return None
+        return (np.concatenate(out_idx), np.concatenate(out_z),
+                np.concatenate(out_rgb))
+
+    @staticmethod
+    def _resolve(frags, W, H):
+        """Depth-resolve flat fragments into (color, zbuf) images: sort
+        back-to-front and scatter — duplicate indices keep the last
+        (nearest) write, i.e. a z-buffer in one vectorized pass."""
+        idx, z, rgb = frags
+        order = np.argsort(-z)
+        idx, z, rgb = idx[order], z[order], rgb[order]
+        zbuf = np.full(W * H, np.inf, np.float32)
+        col = np.zeros((W * H, 3), np.uint8)
+        zbuf[idx] = z
+        col[idx] = rgb
+        return col.reshape(H, W, 3), zbuf.reshape(H, W)
+
     def render_frame(self, fr: int) -> np.ndarray:
         self._tris, self._lines, self._points = [], [], []
         self.update_scene(fr)
@@ -141,29 +262,45 @@ class Visualizer3D:
         if self.show_ground and self.background_img is None:
             self._render_ground(img)
 
-        # gather all triangles, depth sort, paint back to front
-        polys = []
+        # vectorized z-buffer rasterization at supersampled resolution;
+        # opaque meshes share one buffer, each translucent mesh becomes a
+        # depth-tested layer composited back-to-front (the reference's
+        # per-actor opacity, vis_smpl.py occluded frames)
+        s = self.supersample
+        W, H = self.width * s, self.height * s
+        opaque, layers = [], []
         for verts, faces, color, opacity in self._tris:
-            uv, z = cam.project(verts)
-            tz = z[faces].mean(axis=1)
-            vis = (z[faces] > 0.05).all(axis=1)
-            # simple lambert shade from face normal vs view dir
-            v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
-            nrm = np.cross(v1 - v0, v2 - v0)
-            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-9
-            view = cam.pose[2, :3]
-            shade = 0.4 + 0.6 * np.abs(nrm @ view)
-            for f_idx in np.where(vis)[0]:
-                polys.append((tz[f_idx], uv[faces[f_idx]].astype(np.int32),
-                              tuple((color * shade[f_idx]).clip(0, 255)), opacity))
-        polys.sort(key=lambda p: -p[0])
-        for _, tri, color, opacity in polys:
+            frags = self._mesh_fragments(verts, faces, color, s)
+            if frags is None:
+                continue
             if opacity >= 1.0:
-                cv2.fillConvexPoly(img, tri, color, cv2.LINE_AA)
+                opaque.append(frags)
             else:
-                overlay = img.copy()
-                cv2.fillConvexPoly(overlay, tri, color, cv2.LINE_AA)
-                img = cv2.addWeighted(overlay, opacity, img, 1 - opacity, 0)
+                layers.append((frags, opacity))
+        zbuf = np.full((H, W), np.inf, np.float32)
+        base = None
+        if opaque:
+            merged = tuple(np.concatenate(a) for a in zip(*opaque))
+            base, zbuf = self._resolve(merged, W, H)
+        hi = (img if s == 1 else
+              cv2.resize(img, (W, H), interpolation=cv2.INTER_NEAREST))
+        if base is not None:
+            cover = np.isfinite(zbuf)
+            hi[cover] = base[cover]
+        # translucent layers, farthest first; blend only covered pixels
+        layers.sort(key=lambda fo: -np.median(fo[0][1]))
+        for frags, opacity in layers:
+            lcol, lz = self._resolve(frags, W, H)
+            visible = np.isfinite(lz) & (lz < zbuf)
+            hi[visible] = (opacity * lcol[visible].astype(np.float32)
+                           + (1 - opacity) * hi[visible].astype(np.float32)
+                           ).astype(np.uint8)
+        if s > 1:
+            img = cv2.resize(hi, (self.width, self.height),
+                             interpolation=cv2.INTER_AREA)
+        else:
+            img = hi
+        img = np.ascontiguousarray(img)
 
         for starts, ends, color, thickness in self._lines:
             for a, b in zip(starts, ends):
@@ -179,13 +316,17 @@ class Visualizer3D:
                                 fps: float = 30.0, verbose: bool = False) -> str:
         """Render all frames and encode (reference
         save_animation_as_video, visualizer3d.py:241-262 — xvfb+ffmpeg
-        there, pure software here)."""
+        there, pure software here). Frames stream straight into the
+        encoder so long sequences never buffer T full images in RAM."""
         if self.camera is None:
             self.camera = Camera.lookat(eye=(4, -4, 2.5), target=(0, 0, 0.8),
                                         width=self.width, height=self.height)
-        frames = []
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (self.width, self.height))
         for fr in range(num_fr):
-            frames.append(self.render_frame(fr))
+            vw.write(cv2.cvtColor(self.render_frame(fr), cv2.COLOR_RGB2BGR))
             if verbose and fr % 50 == 0:
                 print(f"rendered {fr}/{num_fr}")
-        return frames_to_video(np.stack(frames), out_path, fps)
+        vw.release()
+        return out_path

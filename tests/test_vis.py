@@ -41,6 +41,42 @@ class TestRenderer:
         # something was drawn (not all background)
         assert (img != img[0, 0]).any()
 
+    def test_zbuffer_occlusion(self):
+        """A near triangle must hide a far one behind it (z-buffer), and
+        a translucent near triangle must blend with, not replace, it."""
+
+        def tri_at(dist, half=1.5):
+            # camera looks down +y from (0, -5, 1) -> triangle faces it
+            return np.array([[-half, dist, 1 - half],
+                             [half, dist, 1 - half],
+                             [0.0, dist, 1 + half]])
+
+        class V(Visualizer3D):
+            opacity_near = 1.0
+
+            def update_scene(self, fr):
+                self.add_mesh(tri_at(2.0), np.array([[0, 1, 2]]),
+                              (0, 0, 255), 1.0)          # far: blue
+                self.add_mesh(tri_at(0.0, half=0.6), np.array([[0, 1, 2]]),
+                              (255, 0, 0), self.opacity_near)  # near: red
+
+        v = V(width=160, height=120, show_ground=False)
+        v.camera = Camera.lookat(eye=(0, -5, 1), target=(0, 0, 1),
+                                 width=160, height=120)
+        img = v.render_frame(0)
+        c = img[60, 80].astype(int)
+        # center pixel: near red wins over far blue
+        assert c[0] > 150 and c[2] < 100, c
+        # far triangle still visible outside the near one's silhouette
+        left = img[74, 62].astype(int)
+        assert left[2] > 150 and left[0] < 100, left
+
+        v.opacity_near = 0.5
+        img2 = v.render_frame(0)
+        c2 = img2[60, 80].astype(int)
+        # translucent near blends red with blue behind it
+        assert c2[0] > 60 and c2[2] > 60, c2
+
 
 class TestSMPLVisualizer:
     def test_side_by_side(self, tmp_path):
