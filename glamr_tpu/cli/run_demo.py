@@ -22,6 +22,8 @@ def main(argv=None):
     parser.add_argument("--seeds", default="1", help="comma-separated")
     parser.add_argument("--cached", type=int, default=1)
     parser.add_argument("--vis", type=int, default=1)
+    parser.add_argument("--html", action="store_true",
+                        help="also export interactive HTML viewers")
     parser.add_argument("--multi", action="store_true")
     parser.add_argument("--synthetic_pose_est", action="store_true",
                         help="generate a synthetic pose.pkl (no HybrIK needed)")
@@ -120,6 +122,9 @@ def main(argv=None):
             path = os.path.join(args.out_dir, f"{seq_name}_{coord}.mp4")
             v.save_animation_as_video(path)
             log.info(f"wrote {path}")
+            if args.html and coord == "world":
+                h = v.save_interactive_html(path[:-4] + ".html")
+                log.info(f"wrote {h}")
     return outs
 
 

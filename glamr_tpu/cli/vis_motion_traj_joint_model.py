@@ -19,6 +19,8 @@ def main(argv=None):
     parser.add_argument("--out_dir", default="out/glamr_tpu/vis_joint")
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--synthetic_data", action="store_true")
+    parser.add_argument("--html", action="store_true",
+                        help="also export an interactive HTML viewer")
     parser.add_argument("--sample_num", type=int, default=None,
                         help="samples per sequence (default: cfg num_motion_samp)")
     args = parser.parse_args(argv)
@@ -77,6 +79,8 @@ def main(argv=None):
         v.set_motions(motions)
         path = os.path.join(args.out_dir, f"seq_{i}.mp4")
         v.save_animation_as_video(path, num_fr=seq_len)
+        if args.html:
+            v.save_interactive_html(path[:-4] + ".html", num_fr=seq_len)
         log.info(f"wrote {path}")
 
 

@@ -18,6 +18,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--synthetic_data", action="store_true")
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--html", action="store_true",
+                        help="also export an interactive HTML viewer")
     args = parser.parse_args(argv)
 
     import jax
@@ -79,6 +81,8 @@ def main(argv=None):
         v.set_motions(motions, offset_x=0.0)  # overlaid trajectories
         path = os.path.join(args.out_dir, f"seq_{i}.mp4")
         v.save_animation_as_video(path, num_fr=seq_len)
+        if args.html:
+            v.save_interactive_html(path[:-4] + ".html", num_fr=seq_len)
         log.info(f"wrote {path}")
 
 

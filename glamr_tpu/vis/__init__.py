@@ -14,5 +14,6 @@ from .video import (
 from .renderer import Visualizer3D
 from .smpl_vis import SkeletonActor, SMPLActor, SMPLVisualizer
 from .grecon_vis import GReconVisualizer
+from .interactive import export_html, save_interactive_html, show_interactive
 
 __all__ = [k for k in dir() if not k.startswith("_")]

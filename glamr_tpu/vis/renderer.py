@@ -330,3 +330,17 @@ class Visualizer3D:
                 print(f"rendered {fr}/{num_fr}")
         vw.release()
         return out_path
+
+    def save_interactive_html(self, out_path: str, num_fr: Optional[int] = None,
+                              fps: float = 30.0, title: str = "GLAMR") -> str:
+        """Export the animation as a self-contained interactive HTML viewer
+        (orbit camera + the reference window's key bindings; see
+        vis/interactive.py — the counterpart of visualizer3d.py:75-240)."""
+        from .interactive import save_interactive_html
+        return save_interactive_html(self, out_path, num_fr, fps, title)
+
+    def show_interactive(self, num_fr: Optional[int] = None,
+                         fps: float = 30.0):
+        """Reference-style native pyvista window (requires pyvista)."""
+        from .interactive import show_interactive
+        return show_interactive(self, num_fr, fps)
