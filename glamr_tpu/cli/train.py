@@ -63,6 +63,9 @@ def main(argv=None):
     parser.add_argument("--synthetic_num_seqs", type=int, default=None)
     parser.add_argument("--resume", default=None, help="checkpoint path")
     parser.add_argument("--ndevices", type=int, default=None)
+    parser.add_argument("--pool_size", type=int, default=None,
+                        help="detector: pre-rendered device-resident pool "
+                             "size (default cfg pool_size or 4096)")
     parser.add_argument("--device_data", type=int, default=1,
                         help="sample batches on-device from HBM-resident "
                              "data (zero per-step host traffic); 0 forces "
@@ -287,6 +290,29 @@ def main(argv=None):
                                     mesh=mesh if ndev > 1 else None)
         log.info("using fused device-resident epochs "
                  f"({steps} steps/dispatch, {ndev} devices)")
+    elif args.device_data and args.model == "detector":
+        # rendering is host-bound (~25 ms/image): pre-render a fixed pool
+        # once, keep it in HBM, and run fused epochs with on-device
+        # augmentation (pose_est/synth_images.py build_detector_pool)
+        from ..pose_est.synth_images import build_detector_pool
+        from ..train.trainer import (detector_step_core, make_fused_epoch,
+                                     make_detector_pool_sampler)
+
+        pool_n = int(args.pool_size or cfg.get("pool_size", 4096))
+        t0 = time.time()
+        pool = build_detector_pool(gen_train, np.random.default_rng(seed),
+                                   pool_n)
+        log.info(f"rendered {pool_n}-image detector pool "
+                 f"in {time.time() - t0:.0f}s")
+        sample, _ = make_detector_pool_sampler(
+            pool, batch_size, mesh=mesh if ndev > 1 else None)
+        core = detector_step_core(model, tx, cfg.loss_cfg,
+                                  compute_dtype=cdtype)
+        epoch_fn = make_fused_epoch(core, sample, steps,
+                                    mesh=mesh if ndev > 1 else None)
+        log.info("using pooled device-resident detector epochs "
+                 f"({steps} steps/dispatch, {ndev} devices); "
+                 "val renders fresh scenes each epoch")
 
     if args.resume:
         state = load_checkpoint(args.resume, target=jax.device_get(state))

@@ -19,9 +19,17 @@ from .synth import lookat_cam
 
 def render_mesh_image(verts_list, faces, cam_R, cam_c, K, size,
                       rng: np.random.Generator):
-    """Painter's-algorithm render of one or more meshes over a random
-    background. verts_list: list of (V, 3) world-frame vertex arrays.
-    Returns (size, size, 3) float32 image in [0, 1]."""
+    """Z-buffer render of one or more meshes over a random background
+    (shared fragment rasterizer, vis/renderer.py mesh_fragments — one
+    code path with the product visualizer, pixel-exact depth between
+    persons). At detector scale (128 px) this costs about the same as
+    the old per-triangle painter loop; training throughput comes from
+    build_detector_pool + device-resident fused epochs, not from the
+    renderer. verts_list: list of (V, 3) world-frame vertex arrays.
+    Returns (size, size, 3) float32 in [0, 1].
+    """
+    from ..vis.renderer import mesh_fragments, resolve_fragments
+
     # random background: solid color + optional gradient + noise
     base = rng.uniform(0.1, 0.9, 3)
     img = np.tile(base.astype(np.float32), (size, size, 1))
@@ -31,34 +39,22 @@ def render_mesh_image(verts_list, faces, cam_R, cam_c, K, size,
     img += rng.normal(0, rng.uniform(0.005, 0.05), img.shape).astype(np.float32)
     img = np.clip(img, 0, 1)
 
-    all_tz, all_tri, all_col = [], [], []
+    frags = []
     for verts in verts_list:
         color = rng.uniform(0.15, 0.95, 3)
         vc = verts @ cam_R.T + (-cam_R @ cam_c)
         z = vc[:, 2]
-        uv = (vc / np.maximum(z[:, None], 1e-6)) @ K.T
-        tz = z[faces].mean(axis=1)
-        vis = (z[faces] > 0.05).all(axis=1)
-        v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
-        nrm = np.cross(v1 - v0, v2 - v0)
-        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-9
-        shade = 0.4 + 0.6 * np.abs(nrm @ cam_R[2])
-        tri_uv = uv[:, :2][faces]
-        # skip triangles fully off-screen
-        on = vis & (tri_uv.max(axis=(1, 2)) > 0) & \
-            (tri_uv[:, :, 0].min(axis=1) < size) & \
-            (tri_uv[:, :, 1].min(axis=1) < size)
-        all_tz.append(tz[on])
-        all_tri.append(tri_uv[on].astype(np.int32))
-        all_col.append((color[None] * shade[on, None] * 255).astype(np.float64))
+        uv = ((vc / np.maximum(z[:, None], 1e-6)) @ K.T)[:, :2]
+        f = mesh_fragments(uv, z, verts, faces, color * 255,
+                           size, size, cam_R[2])
+        if f is not None:
+            frags.append(f)
     img8 = (img * 255).astype(np.uint8)
-    if all_tz:
-        tz = np.concatenate(all_tz)
-        tri = np.concatenate(all_tri)
-        col = np.concatenate(all_col)
-        order = np.argsort(-tz)  # back to front
-        for i in order:
-            cv2.fillConvexPoly(img8, tri[i], col[i].tolist())
+    if frags:
+        col, zbuf = resolve_fragments(
+            tuple(np.concatenate(x) for x in zip(*frags)), size, size)
+        cover = np.isfinite(zbuf)
+        img8[cover] = col[cover]
     return img8.astype(np.float32) / 255.0
 
 
@@ -197,3 +193,36 @@ class DetectorDataGen:
     def batch(self, rng: np.random.Generator, batch_size: int) -> dict:
         samples = [self.sample(rng) for _ in range(batch_size)]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def build_detector_pool(gen: DetectorDataGen, rng: np.random.Generator,
+                        num_images: int, workers: int = None) -> dict:
+    """Pre-render a fixed detector training pool for device-resident
+    fused-epoch training (the detector analog of data/device_sampler.py:
+    rendering is host-bound at ~25 ms/image, so per-step fresh renders
+    cap training at ~1 step/s regardless of device speed; a pooled
+    dataset renders once, lives in HBM, and epochs run at device speed
+    with on-device photometric augmentation re-diversifying each draw).
+
+    Images and heatmaps are quantized to uint8 (4x HBM saving; they are
+    [0, 1] by construction) and dequantized on-device per batch.
+    """
+    import concurrent.futures as cf
+    import os as _os
+
+    workers = workers or min(8, _os.cpu_count() or 1)
+    seeds = rng.integers(0, 2 ** 31 - 1, num_images)
+    gen.sample(np.random.default_rng(0))  # warm the jitted LBS once
+
+    def one(seed):
+        return gen.sample(np.random.default_rng(int(seed)))
+
+    if workers > 1:
+        with cf.ThreadPoolExecutor(workers) as ex:
+            samples = list(ex.map(one, seeds))
+    else:
+        samples = [one(s) for s in seeds]
+    pool = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    for k in ("images", "gt_center_hm", "gt_kp_hm"):
+        pool[k] = np.round(pool[k] * 255).astype(np.uint8)
+    return pool

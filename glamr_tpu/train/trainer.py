@@ -389,11 +389,10 @@ def make_lifter_eval_step(model, loss_cfg: dict,
     return jax.jit(step, in_shardings=(repl, dp, repl), out_shardings=repl)
 
 
-def make_detector_train_step(model, tx, loss_cfg: dict,
-                             mesh: Optional[Mesh] = None,
-                             compute_dtype=None):
-    """Train step for the person+keypoint detector (pose_est/detector.py).
-    batch: images (B,H,W,3) + gt_* CenterNet targets (DetectorDataGen)."""
+def detector_step_core(model, tx, loss_cfg: dict, compute_dtype=None):
+    """Unjitted detector train step (state, batch, rng) -> (state, metrics)
+    for composition into fused epochs. batch: images (B,H,W,3) + gt_*
+    CenterNet targets (DetectorDataGen)."""
     from ..pose_est.detector import detector_loss_dict
     apply_fn = mixed_precision(model.apply, compute_dtype)
 
@@ -411,12 +410,59 @@ def make_detector_train_step(model, tx, loss_cfg: dict,
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), {"loss": loss, **uw}
 
+    return step
+
+
+def make_detector_train_step(model, tx, loss_cfg: dict,
+                             mesh: Optional[Mesh] = None,
+                             compute_dtype=None):
+    """Jitted single detector train step (see detector_step_core)."""
+    step = detector_step_core(model, tx, loss_cfg, compute_dtype)
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
     repl = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("dp"))
     return jax.jit(step, donate_argnums=0,
                    in_shardings=(repl, dp, repl), out_shardings=(repl, repl))
+
+
+def make_detector_pool_sampler(pool: dict, batch_size: int,
+                               mesh: Optional[Mesh] = None):
+    """On-device batch draws from a pre-rendered detector pool
+    (pose_est/synth_images.py build_detector_pool): gather a random
+    subset, dequantize the uint8 images/heatmaps, and re-diversify with
+    photometric augmentation (brightness/offset jitter + pixel noise) —
+    all inside the fused-epoch scan, zero per-step host traffic.
+
+    Returns (sample_fn, num_images); sample_fn is jit-composable.
+    """
+    if mesh is not None:
+        # replicate the pool over the mesh so each device's shard of the
+        # batch gathers locally (same layout as data/device_sampler.py)
+        repl = NamedSharding(mesh, P())
+        dev = {k: jax.device_put(jnp.asarray(v), repl)
+               for k, v in pool.items()}
+    else:
+        dev = {k: jnp.asarray(v) for k, v in pool.items()}
+    n = int(dev["images"].shape[0])
+
+    def sample(key):
+        ki, kb, ko, kn = jax.random.split(key, 4)
+        idx = jax.random.randint(ki, (batch_size,), 0, n)
+        b = {k: v[idx] for k, v in dev.items()}
+        img = b["images"].astype(jnp.float32) / 255.0
+        bright = jax.random.uniform(kb, (batch_size, 1, 1, 1),
+                                    minval=0.75, maxval=1.25)
+        off = jax.random.uniform(ko, (batch_size, 1, 1, 1),
+                                 minval=-0.08, maxval=0.08)
+        img = jnp.clip(img * bright + off, 0.0, 1.0)
+        img = img + 0.02 * jax.random.normal(kn, img.shape)
+        b["images"] = img
+        b["gt_center_hm"] = b["gt_center_hm"].astype(jnp.float32) / 255.0
+        b["gt_kp_hm"] = b["gt_kp_hm"].astype(jnp.float32) / 255.0
+        return b
+
+    return sample, n
 
 
 def make_detector_eval_step(model, loss_cfg: dict,

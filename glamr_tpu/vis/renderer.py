@@ -67,6 +67,118 @@ class Camera:
         return uv[:, :2], z
 
 
+def mesh_fragments(uv, z, verts, faces, color, W, H, view_dir):
+    """Rasterize one projected mesh into candidate fragments.
+
+    uv: (V, 2) pixel coords, z: (V,) camera depths, verts: (V, 3) world
+    (for flat lambert shading against view_dir), color: (3,) 0-255.
+    Returns (pix_idx, z, rgb) flat arrays of every covered pixel of
+    every front-facing triangle, or None when nothing is visible.
+    Vectorized over triangles: bboxes are bucketed into power-of-two
+    K x K candidate grids so small triangles (the SMPL-mesh common
+    case) don't pay for large ones.
+    """
+    color = np.asarray(color, np.float64)
+    tz = z[faces]                                    # (F, 3)
+    keep = (tz > 0.05).all(axis=1)
+    if not keep.any():
+        return None
+    tuv = uv[faces][keep]                            # (F, 3, 2)
+    tz = tz[keep]
+    # flat lambert shade from face normal vs view dir
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    nrm = np.cross(v1 - v0, v2 - v0)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-9
+    shade = (0.4 + 0.6 * np.abs(nrm @ view_dir))[keep]
+    rgb = np.clip(color[None, :] * shade[:, None], 0, 255
+                  ).astype(np.uint8)                         # (F, 3)
+
+    # screen bboxes, clipped to the image
+    x0 = np.clip(np.floor(tuv[..., 0].min(1)), 0, W - 1).astype(np.int64)
+    x1 = np.clip(np.ceil(tuv[..., 0].max(1)), 0, W - 1).astype(np.int64)
+    y0 = np.clip(np.floor(tuv[..., 1].min(1)), 0, H - 1).astype(np.int64)
+    y1 = np.clip(np.ceil(tuv[..., 1].max(1)), 0, H - 1).astype(np.int64)
+    ext = np.maximum(x1 - x0, y1 - y0) + 1           # bbox side (px)
+    # signed doubled area; cull degenerates
+    e01 = tuv[:, 1] - tuv[:, 0]
+    e02 = tuv[:, 2] - tuv[:, 0]
+    area = e01[:, 0] * e02[:, 1] - e01[:, 1] * e02[:, 0]
+    ok = (np.abs(area) > 1e-12) & (x1 >= x0) & (y1 >= y0)
+
+    tuv = tuv.astype(np.float32)
+    tz = tz.astype(np.float32)
+    inv_area = (1.0 / area).astype(np.float32)       # sign-corrects too
+    x0f = x0.astype(np.float32)
+    y0f = y0.astype(np.float32)
+    inv_tz = (1.0 / tz).astype(np.float32)
+
+    def raster(sel, K):
+        """Barycentric-test a K x K candidate grid at each selected
+        triangle's bbox origin; append covered fragments. All math in
+        float32; depth interpolated only at covered pixels."""
+        A, B, C = (tuv[sel, i] for i in range(3))    # (f, 2) each
+        iar = inv_area[sel][:, None, None]
+        g = np.arange(K, dtype=np.float32) + np.float32(0.5)
+        px = x0f[sel, None, None] + g[None, None, :]     # (f, 1, K)
+        py = y0f[sel, None, None] + g[None, :, None]     # (f, K, 1)
+        def edge(P, Q):
+            # broadcasts (f,1,K) x (f,K,1) -> (f,K,K)
+            return ((Q[:, 0, None, None] - P[:, 0, None, None])
+                    * (py - P[:, 1, None, None])
+                    - (Q[:, 1, None, None] - P[:, 1, None, None])
+                    * (px - P[:, 0, None, None]))
+        w0 = edge(B, C) * iar
+        w1 = edge(C, A) * iar
+        w2 = edge(A, B) * iar
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                  & (px < W) & (py < H))
+        if not inside.any():
+            return
+        fi, yi, xi = np.nonzero(inside)
+        # perspective-correct depth (interpolate 1/z), fragments only
+        it = inv_tz[sel]
+        zi = 1.0 / (w0[fi, yi, xi] * it[fi, 0]
+                    + w1[fi, yi, xi] * it[fi, 1]
+                    + w2[fi, yi, xi] * it[fi, 2])
+        out_idx.append((y0[sel][fi] + yi) * W + (x0[sel][fi] + xi))
+        out_z.append(zi)
+        out_rgb.append(rgb[sel][fi])
+
+    out_idx, out_z, out_rgb = [], [], []
+    lo = 1
+    for K in (4, 8, 16, 32, 64, 128, 192, 256, 384, 512):
+        sel = ok & (ext >= lo) & (ext <= K)
+        lo = K + 1
+        if sel.any():
+            raster(sel, K)
+    # beyond 512 px (extreme close-ups): exact bbox, one at a time —
+    # rare, and bounded at roughly one image of memory each
+    for t in np.nonzero(ok & (ext > 512))[0]:
+        sel = np.zeros(ok.shape, bool)
+        sel[t] = True
+        raster(sel, int(ext[t]))
+    if not out_idx:
+        return None
+    return (np.concatenate(out_idx), np.concatenate(out_z),
+            np.concatenate(out_rgb))
+
+
+
+def resolve_fragments(frags, W, H):
+    """Depth-resolve flat fragments into (color, zbuf) images: sort
+    back-to-front and scatter — duplicate indices keep the last
+    (nearest) write, i.e. a z-buffer in one vectorized pass."""
+    idx, z, rgb = frags
+    order = np.argsort(-z)
+    idx, z, rgb = idx[order], z[order], rgb[order]
+    zbuf = np.full(W * H, np.inf, np.float32)
+    col = np.zeros((W * H, 3), np.uint8)
+    zbuf[idx] = z
+    col[idx] = rgb
+    return col.reshape(H, W, 3), zbuf.reshape(H, W)
+
+
+
 class Visualizer3D:
     """Vectorized z-buffer scene renderer.
 
@@ -141,114 +253,17 @@ class Visualizer3D:
         cv2.line(img, tuple(p0), tuple(p1), color, thickness, cv2.LINE_AA)
 
     def _mesh_fragments(self, verts, faces, color, scale: int):
-        """Project one mesh and emit its candidate fragments.
-
-        Returns (pix_idx, z, rgb) flat arrays of every covered pixel of
-        every front-facing triangle at the supersampled resolution, or
-        None when nothing is visible. Vectorized over triangles: bboxes
-        are bucketed into power-of-two K x K candidate grids so small
-        triangles (the SMPL-mesh common case) don't pay for large ones.
-        """
+        """Project one mesh and emit its candidate fragments (see
+        mesh_fragments) at the supersampled resolution."""
         cam = self.camera
-        W, H = self.width * scale, self.height * scale
         uv, z = cam.project(verts)
-        uv = uv * scale
-        tz = z[faces]                                    # (F, 3)
-        keep = (tz > 0.05).all(axis=1)
-        if not keep.any():
-            return None
-        tuv = uv[faces][keep]                            # (F, 3, 2)
-        tz = tz[keep]
-        # flat lambert shade from face normal vs view dir (as before)
-        v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
-        nrm = np.cross(v1 - v0, v2 - v0)
-        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-9
-        shade = (0.4 + 0.6 * np.abs(nrm @ cam.pose[2, :3]))[keep]
-        rgb = np.clip(color[None, :] * shade[:, None], 0, 255
-                      ).astype(np.uint8)                         # (F, 3)
-
-        # screen bboxes, clipped to the image
-        x0 = np.clip(np.floor(tuv[..., 0].min(1)), 0, W - 1).astype(np.int64)
-        x1 = np.clip(np.ceil(tuv[..., 0].max(1)), 0, W - 1).astype(np.int64)
-        y0 = np.clip(np.floor(tuv[..., 1].min(1)), 0, H - 1).astype(np.int64)
-        y1 = np.clip(np.ceil(tuv[..., 1].max(1)), 0, H - 1).astype(np.int64)
-        ext = np.maximum(x1 - x0, y1 - y0) + 1           # bbox side (px)
-        # signed doubled area; cull degenerates
-        e01 = tuv[:, 1] - tuv[:, 0]
-        e02 = tuv[:, 2] - tuv[:, 0]
-        area = e01[:, 0] * e02[:, 1] - e01[:, 1] * e02[:, 0]
-        ok = (np.abs(area) > 1e-12) & (x1 >= x0) & (y1 >= y0)
-
-        tuv = tuv.astype(np.float32)
-        tz = tz.astype(np.float32)
-        inv_area = (1.0 / area).astype(np.float32)       # sign-corrects too
-        x0f = x0.astype(np.float32)
-        y0f = y0.astype(np.float32)
-        inv_tz = (1.0 / tz).astype(np.float32)
-
-        def raster(sel, K):
-            """Barycentric-test a K x K candidate grid at each selected
-            triangle's bbox origin; append covered fragments. All math in
-            float32; depth interpolated only at covered pixels."""
-            A, B, C = (tuv[sel, i] for i in range(3))    # (f, 2) each
-            iar = inv_area[sel][:, None, None]
-            g = np.arange(K, dtype=np.float32) + np.float32(0.5)
-            px = x0f[sel, None, None] + g[None, None, :]     # (f, 1, K)
-            py = y0f[sel, None, None] + g[None, :, None]     # (f, K, 1)
-            def edge(P, Q):
-                # broadcasts (f,1,K) x (f,K,1) -> (f,K,K)
-                return ((Q[:, 0, None, None] - P[:, 0, None, None])
-                        * (py - P[:, 1, None, None])
-                        - (Q[:, 1, None, None] - P[:, 1, None, None])
-                        * (px - P[:, 0, None, None]))
-            w0 = edge(B, C) * iar
-            w1 = edge(C, A) * iar
-            w2 = edge(A, B) * iar
-            inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-                      & (px < W) & (py < H))
-            if not inside.any():
-                return
-            fi, yi, xi = np.nonzero(inside)
-            # perspective-correct depth (interpolate 1/z), fragments only
-            it = inv_tz[sel]
-            zi = 1.0 / (w0[fi, yi, xi] * it[fi, 0]
-                        + w1[fi, yi, xi] * it[fi, 1]
-                        + w2[fi, yi, xi] * it[fi, 2])
-            out_idx.append((y0[sel][fi] + yi) * W + (x0[sel][fi] + xi))
-            out_z.append(zi)
-            out_rgb.append(rgb[sel][fi])
-
-        out_idx, out_z, out_rgb = [], [], []
-        lo = 1
-        for K in (4, 8, 16, 32, 64, 128, 192, 256, 384, 512):
-            sel = ok & (ext >= lo) & (ext <= K)
-            lo = K + 1
-            if sel.any():
-                raster(sel, K)
-        # beyond 512 px (extreme close-ups): exact bbox, one at a time —
-        # rare, and bounded at roughly one image of memory each
-        for t in np.nonzero(ok & (ext > 512))[0]:
-            sel = np.zeros(ok.shape, bool)
-            sel[t] = True
-            raster(sel, int(ext[t]))
-        if not out_idx:
-            return None
-        return (np.concatenate(out_idx), np.concatenate(out_z),
-                np.concatenate(out_rgb))
+        return mesh_fragments(uv * scale, z, verts, faces, color,
+                              self.width * scale, self.height * scale,
+                              cam.pose[2, :3])
 
     @staticmethod
     def _resolve(frags, W, H):
-        """Depth-resolve flat fragments into (color, zbuf) images: sort
-        back-to-front and scatter — duplicate indices keep the last
-        (nearest) write, i.e. a z-buffer in one vectorized pass."""
-        idx, z, rgb = frags
-        order = np.argsort(-z)
-        idx, z, rgb = idx[order], z[order], rgb[order]
-        zbuf = np.full(W * H, np.inf, np.float32)
-        col = np.zeros((W * H, 3), np.uint8)
-        zbuf[idx] = z
-        col[idx] = rgb
-        return col.reshape(H, W, 3), zbuf.reshape(H, W)
+        return resolve_fragments(frags, W, H)
 
     def render_frame(self, fr: int) -> np.ndarray:
         self._tris, self._lines, self._points = [], [], []

@@ -199,3 +199,42 @@ def test_detect_video_shapes(tiny_cfg):
     assert len(dets) == 5
     assert dets[0]["kp_2d"].shape == (tiny_cfg.max_people, tiny_cfg.num_kp, 2)
     assert not dets[0]["valid"].any()  # threshold 2.0 rejects everything
+
+
+def test_detector_pool_fused_epoch(datagen, tiny_cfg):
+    """Device-resident pooled training: build_detector_pool renders once
+    (uint8-quantized), make_detector_pool_sampler re-diversifies draws
+    on-device, and a fused epoch over the pool cuts the loss."""
+    import jax
+
+    from glamr_tpu.pose_est.detector import (DEFAULT_DETECTOR_LOSS_CFG,
+                                             PersonKeypointDetector,
+                                             init_detector)
+    from glamr_tpu.pose_est.synth_images import build_detector_pool
+    from glamr_tpu.train.trainer import (detector_step_core,
+                                         make_detector_pool_sampler,
+                                         make_fused_epoch, make_tx)
+
+    pool = build_detector_pool(datagen, np.random.default_rng(0), 8,
+                               workers=2)
+    assert pool["images"].dtype == np.uint8
+    assert pool["images"].shape[0] == 8
+    assert pool["gt_kp_hm"].dtype == np.uint8
+
+    sample, n = make_detector_pool_sampler(pool, batch_size=4)
+    assert n == 8
+    b = jax.jit(sample)(jax.random.PRNGKey(0))
+    assert b["images"].shape == (4, tiny_cfg.img_size, tiny_cfg.img_size, 3)
+    assert b["images"].dtype.name == "float32"
+    assert float(b["gt_center_hm"].max()) <= 1.0
+
+    model = PersonKeypointDetector(tiny_cfg)
+    tx = make_tx(2e-3)
+    state = init_detector(model, tx, jax.random.PRNGKey(0))
+    core = detector_step_core(model, tx, DEFAULT_DETECTOR_LOSS_CFG)
+    epoch = make_fused_epoch(core, sample, K=20)
+    state, metrics = epoch(state, jax.random.PRNGKey(1))
+    losses = np.asarray(metrics["loss"])
+    assert losses.shape == (20,)
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
