@@ -18,9 +18,18 @@ import os
 
 def enable_compile_cache(cache_dir: str | None = None) -> str:
     """Point jax at a persistent compile cache and persist EVERYTHING
-    (no min-compile-time / min-size thresholds). Returns the directory."""
+    (no min-compile-time / min-size thresholds). Returns the directory.
+
+    Also restores standard JAX_PLATFORMS semantics: a platform plugin
+    (the tunneled-TPU one does this) may rewrite jax_platforms at import
+    time, silently overriding an explicit `JAX_PLATFORMS=cpu`; since
+    every CLI calls this helper, re-applying the env var here makes
+    `JAX_PLATFORMS` trustworthy across all entry points (previously only
+    cli/warmup.py did this locally)."""
     import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     d = (cache_dir
          or os.environ.get("GLAMR_CACHE_DIR")
          or os.environ.get("JAX_COMPILATION_CACHE_DIR")
