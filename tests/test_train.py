@@ -463,3 +463,23 @@ class TestFusedEpoch:
             str(tmp_path / "results" / "**" / "checkpoints" / "*.pkl"),
             recursive=True)
         assert cps, "no checkpoint written"
+
+
+def test_enable_compile_cache_honors_jax_platforms_env(monkeypatch, tmp_path):
+    """enable_compile_cache re-applies the JAX_PLATFORMS env var: platform
+    plugins rewrite jax_platforms at import time, and every CLI relies on
+    this helper to restore env-var semantics (utils/cache.py)."""
+    import jax
+
+    from glamr_tpu.utils.cache import enable_compile_cache
+
+    prev = jax.config.jax_platforms
+    try:
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", "")  # simulate a plugin override
+        d = enable_compile_cache(str(tmp_path))
+        assert jax.config.jax_platforms == "cpu"
+        assert d == str(tmp_path)
+    finally:
+        jax.config.update("jax_platforms", prev)
+        enable_compile_cache()  # restore the shared cache dir for later tests
