@@ -363,14 +363,20 @@ def main(argv=None):
             "time/sec_per_epoch": dt,
         })
 
-        if val_loss < best_val:
+        new_best = val_loss < best_val
+        if new_best:
             best_val = val_loss
-            if is_primary:
-                save_checkpoint(os.path.join(cp_dir, "best.pkl"),
-                                jax.device_get(state))
-        if is_primary and ((epoch + 1) % save_n == 0 or epoch == epochs - 1):
-            save_checkpoint(os.path.join(cp_dir, f"epoch={epoch}.pkl"),
-                            jax.device_get(state))
+        periodic = (epoch + 1) % save_n == 0 or epoch == epochs - 1
+        if is_primary and (new_best or periodic):
+            # one state fetch even when both saves coincide (a full
+            # params+opt-state device_get is a multi-second round trip
+            # on a tunneled accelerator)
+            host_state = jax.device_get(state)
+            if new_best:
+                save_checkpoint(os.path.join(cp_dir, "best.pkl"), host_state)
+            if periodic:
+                save_checkpoint(os.path.join(cp_dir, f"epoch={epoch}.pkl"),
+                                host_state)
     except (KeyboardInterrupt, Exception) as e:
         # failure recovery (SURVEY §5.3 gap in the reference): always
         # leave a resumable checkpoint behind, whatever interrupted us

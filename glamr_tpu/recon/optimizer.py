@@ -736,9 +736,12 @@ class GlobalReconOptimizer:
             # wall-clock from this stage's dispatch to the next (device
             # work overlaps host code under async dispatch)
             t1 = pending[i + 1][4] if i + 1 < len(pending) else t_end
+            # only non-final stages log dispatch-to-dispatch latency: the
+            # last stage's window ends at the blocking output fetch, so
+            # its elapsed time IS the schedule's absorbed device time
             self._log_schedule_stage(data["seq_name"], stage, ss, hs, uws,
                                      t1 - t0, False,
-                                     dispatch_timing=len(pending) > 1)
+                                     dispatch_timing=i + 1 < len(pending))
         return out
 
     def _optimize_stacked(self, datas, seq_name, mesh=None):

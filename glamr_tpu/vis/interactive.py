@@ -94,8 +94,7 @@ def export_html(captured: dict, out_path: str, fps: float = 30.0,
     """Write the captured scene as one self-contained HTML viewer file."""
     meta = {"num_fr": int(captured["num_fr"]), "fps": float(fps),
             "title": title, "ground_z": float(ground_z),
-            "show_ground": bool(show_ground), "meshes": [],
-            "line_colors": [], "point_colors": []}
+            "show_ground": bool(show_ground), "meshes": []}
     bufs = {}
 
     for i, slot in enumerate(captured["slots"]):
@@ -118,8 +117,11 @@ def export_html(captured: dict, out_path: str, fps: float = 30.0,
             segs = np.concatenate([
                 np.stack([s, e], axis=1).reshape(-1, 3)
                 for s, e, _, _ in frame])               # (2*N, 3)
+            # one color row per ENDPOINT row (2 per segment): the JS draw
+            # loop walks endpoint offsets in steps of 2 and reads the
+            # color at the segment's start row (lineCol[i*3])
             cols = np.concatenate([
-                np.tile(np.asarray(col, np.float32), (len(s), 1))
+                np.tile(np.asarray(col, np.float32), (2 * len(s), 1))
                 for s, e, col, _ in frame])
         else:
             segs = np.zeros((0, 3), np.float32)

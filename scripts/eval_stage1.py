@@ -115,6 +115,7 @@ def eval_lifter(model, params, smpl, data, rng, num_windows, seq_len=32):
     fwd = jax.jit(lambda kp, vis: model.apply(params, kp, vis))
     errs_all, errs_vis, errs_invis, root_err = [], [], [], []
     B = 16
+    n_eval = max(num_windows // B, 1) * B
     for _ in range(max(num_windows // B, 1)):
         b = gen.batch(rng, B)
         out = fwd(jnp.asarray(b["kp_2d"]), jnp.asarray(b["vis"]))
@@ -135,7 +136,7 @@ def eval_lifter(model, params, smpl, data, rng, num_windows, seq_len=32):
         "MPJPE_vis_mm": float(cat(errs_vis).mean() * 1000),
         "MPJPE_occluded_mm": float(cat(errs_invis).mean() * 1000),
         "root_err_mm": float(cat(root_err).mean() * 1000),
-        "num_windows": num_windows, "seq_len": seq_len,
+        "num_windows": n_eval, "seq_len": seq_len,
     }
 
 
@@ -255,8 +256,9 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
             np.asarray(rotation_matrix_to_angle_axis(rj[None] @ og)),
             g["pose"][:, 3:]], -1)
         g["root_trans"] = g["root_trans"] @ rot.T
-    # sanity: up must now be +z for the GT (head above pelvis)
-    assert out["gt"][0]["root_trans"][:, 2].mean() != 0
+    # sanity: up must now be +z for the GT (pelvis height positive; a
+    # sign/axis error in the camera->world mapping would flip this)
+    assert out["gt"][0]["root_trans"][:, 2].mean() > 0
 
     ev = Evaluator(algo="glamr_tpu", dataset="", smpl=smpl)
     md = ev.compute_sequence_metrics(out, accumulate=False)

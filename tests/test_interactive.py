@@ -71,6 +71,13 @@ class TestInteractiveExport:
         assert off.shape[0] == T + 1 and off[-1] > 0
         flat = np.frombuffer(base64.b64decode(bufs["lines"]), np.float32)
         assert flat.shape[0] == off[-1] * 3
+        # one color row per ENDPOINT row — the JS draw loop indexes the
+        # color buffer with endpoint offsets (lineCol[i*3], i += 2)
+        lcol = np.frombuffer(base64.b64decode(bufs["line_col"]), np.uint8)
+        assert lcol.shape[0] == flat.shape[0]
+        pflat = np.frombuffer(base64.b64decode(bufs["points"]), np.float32)
+        pcol = np.frombuffer(base64.b64decode(bufs["point_col"]), np.uint8)
+        assert pcol.shape[0] == pflat.shape[0]
 
     def test_visualizer_method(self, tmp_path):
         v, T = _make_vis()
