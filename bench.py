@@ -33,8 +33,42 @@ import sys
 import time
 
 
+def _accelerator_reachable() -> bool:
+    """Cheap liveness probe for the tunneled-TPU relay BEFORE jax touches
+    the backend: if the relay process (the stdio<->vsock bridge serving
+    the axon pool ports) has died, jax.devices() blocks forever on the
+    claim instead of failing — and a hung benchmark reports nothing.
+    Scanning /proc for the relay is read-only and cannot disturb a live
+    tunnel."""
+    import glob
+
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(p, "rb") as f:
+                if b"tpu_init" in f.read():
+                    return True
+        except OSError:
+            continue
+    return False
+
+
 def main():
+    platform = "accelerator"
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _accelerator_reachable():
+        # honest degraded mode: same workload on the host CPU (the
+        # measured torch reference baseline ran on this same CPU, so
+        # vs_baseline stays same-hardware apples-to-apples)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        platform = "cpu-fallback (TPU tunnel unreachable)"
+        print("TPU tunnel unreachable -- benchmarking on host CPU",
+              file=sys.stderr)
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # platform plugins rewrite jax_platforms at import; restore
+        # env-var semantics (see glamr_tpu/utils/cache.py)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     # persistent compile cache: production sweeps and repeat bench runs
     # skip the (minutes-long over the TPU tunnel) compile entirely.
@@ -101,13 +135,16 @@ def main():
               file=sys.stderr)
 
     fps = T / warm
-    print(json.dumps({
+    out = {
         "metric": "end-to-end video frames/sec incl. CVAE infer "
                   "(30s 30fps clip, glamr_static 500 iters)",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline_fps, 2),
-    }))
+    }
+    if platform != "accelerator":
+        out["platform"] = platform
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
