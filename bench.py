@@ -33,28 +33,11 @@ import sys
 import time
 
 
-def _accelerator_reachable() -> bool:
-    """Cheap liveness probe for the tunneled-TPU relay BEFORE jax touches
-    the backend: if the relay process (the stdio<->vsock bridge serving
-    the axon pool ports) has died, jax.devices() blocks forever on the
-    claim instead of failing — and a hung benchmark reports nothing.
-    Scanning /proc for the relay is read-only and cannot disturb a live
-    tunnel."""
-    import glob
-
-    for p in glob.glob("/proc/[0-9]*/cmdline"):
-        try:
-            with open(p, "rb") as f:
-                if b"tpu_init" in f.read():
-                    return True
-        except OSError:
-            continue
-    return False
-
-
 def main():
+    from glamr_tpu.utils.cache import accelerator_reachable
+
     platform = "accelerator"
-    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _accelerator_reachable():
+    if not accelerator_reachable():
         # honest degraded mode: same workload on the host CPU (the
         # measured torch reference baseline ran on this same CPU, so
         # vs_baseline stays same-hardware apples-to-apples)

@@ -16,6 +16,28 @@ from __future__ import annotations
 import os
 
 
+def accelerator_reachable() -> bool:
+    """Liveness probe for a tunneled accelerator BEFORE jax touches the
+    backend. When the tunnel relay process (stdio<->vsock bridge) dies,
+    jax.devices() blocks forever on the claim instead of failing; entry
+    points that must not hang (bench.py, __graft_entry__) probe this and
+    fall back to the CPU platform. Returns True when no tunnel is
+    configured (plain environments trust jax's own discovery); the /proc
+    scan is read-only and cannot disturb a live tunnel."""
+    import glob
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(p, "rb") as f:
+                if b"tpu_init" in f.read():
+                    return True
+        except OSError:
+            continue
+    return False
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str:
     """Point jax at a persistent compile cache and persist EVERYTHING
     (no min-compile-time / min-size thresholds). Returns the directory.
