@@ -34,17 +34,20 @@ import time
 
 
 def main():
-    from glamr_tpu.utils.cache import accelerator_reachable
+    from glamr_tpu.utils.cache import accelerator_usable
 
     platform = "accelerator"
-    if not accelerator_reachable():
+    if not accelerator_usable():
         # honest degraded mode: same workload on the host CPU (the
         # measured torch reference baseline ran on this same CPU, so
-        # vs_baseline stays same-hardware apples-to-apples)
+        # vs_baseline stays same-hardware apples-to-apples). Triggers on
+        # a dead tunnel relay, a TPU claim held by another process, or
+        # libtpu client/terminal version skew — all of which would
+        # otherwise hang or kill the bench at jax.devices()
         os.environ["JAX_PLATFORMS"] = "cpu"
-        platform = "cpu-fallback (TPU tunnel unreachable)"
-        print("TPU tunnel unreachable -- benchmarking on host CPU",
-              file=sys.stderr)
+        platform = "cpu-fallback (TPU tunnel unusable)"
+        print("TPU unusable (dead tunnel / held claim / version skew) -- "
+              "benchmarking on host CPU", file=sys.stderr)
 
     import jax
 

@@ -5,6 +5,7 @@ strategy is DDP — SURVEY.md §2.9); parameters are replicated, batches are
 sharded on the leading axis, and gradient all-reduce is inserted by XLA
 from the sharding annotations (no user-level collectives). Multi-host
 extends the same program over DCN via jax.distributed.initialize().
+Multi-axis meshes (dp x fsdp x tp) live in parallel/shard.py.
 """
 from __future__ import annotations
 

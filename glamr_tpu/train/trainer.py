@@ -148,10 +148,11 @@ def init_trajpred(model: TrajPredVAE, tx, rng, batch_size=2, seq_len=16):
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_trajpred_train_step(model: TrajPredVAE, tx, loss_cfg: dict,
-                             mesh: Optional[Mesh] = None,
-                             compute_dtype=None):
-    """batch: joint_pos (B,T,69), trans (B,T,3), orient_q (B,T,4),
+def trajpred_step_core(model: TrajPredVAE, tx, loss_cfg: dict,
+                       compute_dtype=None):
+    """Unjitted traj-pred train step (state, batch, rng) -> (state, metrics)
+    for composition into fused epochs / sharded steps.
+    batch: joint_pos (B,T,69), trans (B,T,3), orient_q (B,T,4),
     optional frame_loss_mask (B,T)."""
     apply_fn = mixed_precision(model.apply, compute_dtype)
 
@@ -174,6 +175,14 @@ def make_trajpred_train_step(model: TrajPredVAE, tx, loss_cfg: dict,
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, {"loss": loss, **uw}
 
+    return step
+
+
+def make_trajpred_train_step(model: TrajPredVAE, tx, loss_cfg: dict,
+                             mesh: Optional[Mesh] = None,
+                             compute_dtype=None):
+    """Jitted single traj-pred train step (see trajpred_step_core)."""
+    step = trajpred_step_core(model, tx, loss_cfg, compute_dtype)
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
     repl = NamedSharding(mesh, P())
@@ -250,6 +259,10 @@ def make_fused_epoch(step_core, sample_fn, K: int, mesh=None, axis="dp"):
     and the gradient all-reduce rides ICI — still one dispatch per epoch,
     no per-device Python (the jit analog of the reference's DDP epoch,
     motion_infiller/train.py:117-119).
+
+    axis may be a tuple for multi-axis data sharding (e.g. ('dp','fsdp')
+    with a state sharded by parallel/shard.py: pass that state in and the
+    epoch runs FSDP — state shardings follow the input layout).
     """
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -38,6 +38,39 @@ def accelerator_reachable() -> bool:
     return False
 
 
+def accelerator_usable(timeout_s: float = 150.0) -> bool:
+    """Stronger liveness probe: can THIS process actually claim the
+    accelerator right now?
+
+    accelerator_reachable() only checks that the tunnel relay process is
+    alive — but jax.devices() can still block indefinitely when another
+    process holds the single-tenant TPU claim, or die on libtpu
+    client/terminal version skew (the round-1 MULTICHIP failure mode).
+    This probe attempts a real claim in a SUBPROCESS under a timeout, so
+    the caller can fall back to the CPU platform instead of hanging.
+    Returns True without probing when no tunnel is configured."""
+    import subprocess
+    import sys
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    if not accelerator_reachable():
+        return False
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # probe the accelerator, not a forced CPU
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert d and d[0].platform != 'cpu', d"],
+            env=env, timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str:
     """Point jax at a persistent compile cache and persist EVERYTHING
     (no min-compile-time / min-size thresholds). Returns the directory.

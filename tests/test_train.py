@@ -483,3 +483,17 @@ def test_enable_compile_cache_honors_jax_platforms_env(monkeypatch, tmp_path):
     finally:
         jax.config.update("jax_platforms", prev)
         enable_compile_cache()  # restore the shared cache dir for later tests
+
+
+def test_accelerator_usable_probe(monkeypatch):
+    """accelerator_usable: trusts plain environments (no tunnel env var),
+    and short-circuits False when the tunnel relay is dead — without ever
+    touching this process's jax backend (utils/cache.py)."""
+    from glamr_tpu.utils import cache
+
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    assert cache.accelerator_usable(timeout_s=1) is True
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setattr(cache, "accelerator_reachable", lambda: False)
+    assert cache.accelerator_usable(timeout_s=1) is False
