@@ -90,6 +90,13 @@ def main(argv=None):
     parser.add_argument("--tensorboard", type=int, default=1,
                         help="write TensorBoard event files under the run "
                              "dir (0 disables)")
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient rematerialization (jax.checkpoint "
+                             "around the loss): store no forward "
+                             "activations, recompute them in the backward "
+                             "pass — ~2x forward FLOPs for a near-flat "
+                             "activation-memory profile; unlocks larger "
+                             "per-chip batch sizes")
     parser.add_argument("--precision", default="f32",
                         choices=["f32", "bf16"],
                         help="compute precision (the reference's pl.Trainer "
@@ -203,7 +210,8 @@ def main(argv=None):
         model = MotionInfillerVAE(mcfg)
         state = init_infiller(model, tx, rng)
         step_fn = make_infiller_train_step(model, tx, cfg.loss_cfg, mesh,
-                                           compute_dtype=cdtype)
+                                           compute_dtype=cdtype,
+                                           remat=args.remat)
         eval_fn = make_infiller_eval_step(model, cfg.loss_cfg, mesh,
                                           compute_dtype=cdtype)
         make_batch = lambda r: build_infiller_batch(train_ds, r, batch_size)
@@ -218,7 +226,8 @@ def main(argv=None):
         model = KeypointLifter(lcfg)
         state = init_lifter(model, tx, rng, seq_len=seq_len)
         step_fn = make_lifter_train_step(model, tx, cfg.loss_cfg, mesh,
-                                         compute_dtype=cdtype)
+                                         compute_dtype=cdtype,
+                                         remat=args.remat)
         eval_fn = make_lifter_eval_step(model, cfg.loss_cfg, mesh,
                                         compute_dtype=cdtype)
         gen_train = LifterDataGen(train_ds.data, smpl, seq_len=seq_len)
@@ -236,7 +245,8 @@ def main(argv=None):
         model = PersonKeypointDetector(dcfg)
         state = init_detector(model, tx, rng)
         step_fn = make_detector_train_step(model, tx, cfg.loss_cfg, mesh,
-                                           compute_dtype=cdtype)
+                                           compute_dtype=cdtype,
+                                           remat=args.remat)
         eval_fn = make_detector_eval_step(model, cfg.loss_cfg, mesh,
                                           compute_dtype=cdtype)
         gen_train = DetectorDataGen(train_ds.data, smpl, cfg=dcfg)
@@ -249,7 +259,8 @@ def main(argv=None):
         model = TrajPredVAE(tcfg)
         state = init_trajpred(model, tx, rng, seq_len=seq_len)
         step_fn = make_trajpred_train_step(model, tx, cfg.loss_cfg, mesh,
-                                           compute_dtype=cdtype)
+                                           compute_dtype=cdtype,
+                                           remat=args.remat)
         eval_fn = make_trajpred_eval_step(model, cfg.loss_cfg, mesh,
                                           compute_dtype=cdtype)
         make_batch = lambda r: build_trajpred_batch(train_ds, r, batch_size, smpl)
@@ -274,13 +285,15 @@ def main(argv=None):
             mask_spec = (cfg.get("data_mask_methods") or {}).get("drop_frames")
             dev_keys = ("in_body_pose", "gt_body_pose", "frame_mask")
             core = infiller_step_core(model, tx, cfg.loss_cfg,
-                                      compute_dtype=cdtype)
+                                      compute_dtype=cdtype,
+                                      remat=args.remat)
         else:
             # raw theta windows; FK + quat conversion happen inside the step
             mask_spec = None
             dev_keys = ("pose", "trans", "frame_loss_mask")
             core = trajpred_device_step_core(model, tx, cfg.loss_cfg, smpl,
-                                             compute_dtype=cdtype)
+                                             compute_dtype=cdtype,
+                                             remat=args.remat)
         def sample(key, _keys=dev_keys, _mask=mask_spec):
             b = dsd.sample_batch(key, batch_size, seq_len, _mask)
             return {k: b[k] for k in _keys}
@@ -307,7 +320,8 @@ def main(argv=None):
         sample, _ = make_detector_pool_sampler(
             pool, batch_size, mesh=mesh if ndev > 1 else None)
         core = detector_step_core(model, tx, cfg.loss_cfg,
-                                  compute_dtype=cdtype)
+                                  compute_dtype=cdtype,
+                                  remat=args.remat)
         epoch_fn = make_fused_epoch(core, sample, steps,
                                     mesh=mesh if ndev > 1 else None)
         log.info("using pooled device-resident detector epochs "

@@ -66,6 +66,16 @@ def mixed_precision(apply_fn, compute_dtype):
     return wrapped
 
 
+def maybe_remat(loss_fn, enabled: bool):
+    """Full-graph gradient rematerialization (jax.checkpoint): store no
+    forward activations and recompute them during the backward pass —
+    ~2x forward FLOPs for a near-flat activation-memory profile, the
+    standard HBM-for-FLOPs trade that unlocks larger per-chip batches on
+    TPU. Grad values are identical (tests/test_train.py pins this);
+    enable via `glamr-train --remat`."""
+    return jax.checkpoint(loss_fn) if enabled else loss_fn
+
+
 # ------------------------------------------------------------------ infiller
 
 def init_infiller(model: MotionInfillerVAE, tx, rng, batch_size=2):
@@ -78,33 +88,15 @@ def init_infiller(model: MotionInfillerVAE, tx, rng, batch_size=2):
 
 def make_infiller_train_step(model: MotionInfillerVAE, tx, loss_cfg: dict,
                              mesh: Optional[Mesh] = None,
-                             compute_dtype=None):
+                             compute_dtype=None, remat=False):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: in_body_pose/gt_body_pose (B, W, 69), frame_mask (B, W).
-    compute_dtype=jnp.bfloat16 enables mixed-precision compute.
+    compute_dtype=jnp.bfloat16 enables mixed-precision compute;
+    remat=True enables gradient rematerialization (see maybe_remat).
     """
-    apply_fn = mixed_precision(model.apply, compute_dtype)
-
-    def loss_fn(params, batch, rng):
-        sample_rng, drop_rng = jax.random.split(rng)
-        out = apply_fn(
-            params, batch["in_body_pose"], batch["gt_body_pose"],
-            batch["frame_mask"], rng=sample_rng, deterministic=False,
-            rngs={"dropout": drop_rng},
-        )
-        data = {**batch, **out, "out_body_pose": out["out_body_pose"]}
-        total, uw = weighted_total(data, loss_cfg, infiller_loss_dict)
-        return total, uw
-
-    def step(state: TrainState, batch, rng):
-        (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
-        return new_state, {"loss": loss, **uw}
+    step = infiller_step_core(model, tx, loss_cfg,
+                              compute_dtype=compute_dtype, remat=remat)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
@@ -149,7 +141,7 @@ def init_trajpred(model: TrajPredVAE, tx, rng, batch_size=2, seq_len=16):
 
 
 def trajpred_step_core(model: TrajPredVAE, tx, loss_cfg: dict,
-                       compute_dtype=None):
+                       compute_dtype=None, remat=False):
     """Unjitted traj-pred train step (state, batch, rng) -> (state, metrics)
     for composition into fused epochs / sharded steps.
     batch: joint_pos (B,T,69), trans (B,T,3), orient_q (B,T,4),
@@ -166,6 +158,8 @@ def trajpred_step_core(model: TrajPredVAE, tx, loss_cfg: dict,
         total, uw = weighted_total(data, loss_cfg, traj_pred_loss_dict)
         return total, uw
 
+    loss_fn = maybe_remat(loss_fn, remat)
+
     def step(state: TrainState, batch, rng):
         (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
@@ -180,9 +174,10 @@ def trajpred_step_core(model: TrajPredVAE, tx, loss_cfg: dict,
 
 def make_trajpred_train_step(model: TrajPredVAE, tx, loss_cfg: dict,
                              mesh: Optional[Mesh] = None,
-                             compute_dtype=None):
+                             compute_dtype=None, remat=False):
     """Jitted single traj-pred train step (see trajpred_step_core)."""
-    step = trajpred_step_core(model, tx, loss_cfg, compute_dtype)
+    step = trajpred_step_core(model, tx, loss_cfg, compute_dtype,
+                              remat=remat)
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
     repl = NamedSharding(mesh, P())
@@ -286,7 +281,7 @@ def make_fused_epoch(step_core, sample_fn, K: int, mesh=None, axis="dp"):
 
 
 def infiller_step_core(model: MotionInfillerVAE, tx, loss_cfg: dict,
-                       compute_dtype=None):
+                       compute_dtype=None, remat=False):
     """Unjitted infiller train step (state, batch, rng) -> (state, metrics)
     for composition into fused epochs/multisteps."""
     apply_fn = mixed_precision(model.apply, compute_dtype)
@@ -298,8 +293,11 @@ def infiller_step_core(model: MotionInfillerVAE, tx, loss_cfg: dict,
             batch["frame_mask"], rng=sample_rng, deterministic=False,
             rngs={"dropout": drop_rng},
         )
-        total, uw = weighted_total({**batch, **out}, loss_cfg, infiller_loss_dict)
+        data = {**batch, **out, "out_body_pose": out["out_body_pose"]}
+        total, uw = weighted_total(data, loss_cfg, infiller_loss_dict)
         return total, uw
+
+    loss_fn = maybe_remat(loss_fn, remat)
 
     def step(state, batch, rng):
         (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -313,7 +311,7 @@ def infiller_step_core(model: MotionInfillerVAE, tx, loss_cfg: dict,
 
 
 def trajpred_device_step_core(model: TrajPredVAE, tx, loss_cfg: dict, smpl,
-                              compute_dtype=None):
+                              compute_dtype=None, remat=False):
     """Unjitted traj-pred step over RAW device-sampler batches (FK + quat
     conversion inside), for composition into fused epochs."""
     from ..transforms import angle_axis_to_quaternion
@@ -331,6 +329,8 @@ def trajpred_device_step_core(model: TrajPredVAE, tx, loss_cfg: dict, smpl,
                 "frame_loss_mask": batch["frame_loss_mask"][..., 0]}
         total, uw = weighted_total(data, loss_cfg, traj_pred_loss_dict)
         return total, uw
+
+    loss_fn = maybe_remat(loss_fn, remat)
 
     def step(state, batch, rng):
         (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -354,7 +354,7 @@ def make_infiller_multistep(model: MotionInfillerVAE, tx, loss_cfg: dict,
 
 def make_lifter_train_step(model, tx, loss_cfg: dict,
                            mesh: Optional[Mesh] = None,
-                           compute_dtype=None):
+                           compute_dtype=None, remat=False):
     """Train step for the keypoint lifter (pose_est/lifter.py).
     batch: kp_2d (B,T,K,2), vis (B,T,K), gt_* targets (see LifterDataGen)."""
     from ..pose_est.lifter import lifter_loss_dict
@@ -366,6 +366,8 @@ def make_lifter_train_step(model, tx, loss_cfg: dict,
         total, uw = weighted_total({**batch, **out}, loss_cfg,
                                    lifter_loss_dict)
         return total, uw
+
+    loss_fn = maybe_remat(loss_fn, remat)
 
     def step(state: TrainState, batch, rng):
         (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -402,7 +404,8 @@ def make_lifter_eval_step(model, loss_cfg: dict,
     return jax.jit(step, in_shardings=(repl, dp, repl), out_shardings=repl)
 
 
-def detector_step_core(model, tx, loss_cfg: dict, compute_dtype=None):
+def detector_step_core(model, tx, loss_cfg: dict, compute_dtype=None,
+                       remat=False):
     """Unjitted detector train step (state, batch, rng) -> (state, metrics)
     for composition into fused epochs. batch: images (B,H,W,3) + gt_*
     CenterNet targets (DetectorDataGen)."""
@@ -414,6 +417,8 @@ def detector_step_core(model, tx, loss_cfg: dict, compute_dtype=None):
         total, uw = weighted_total({**batch, **out}, loss_cfg,
                                    detector_loss_dict)
         return total, uw
+
+    loss_fn = maybe_remat(loss_fn, remat)
 
     def step(state: TrainState, batch, rng):
         (loss, uw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -428,9 +433,10 @@ def detector_step_core(model, tx, loss_cfg: dict, compute_dtype=None):
 
 def make_detector_train_step(model, tx, loss_cfg: dict,
                              mesh: Optional[Mesh] = None,
-                             compute_dtype=None):
+                             compute_dtype=None, remat=False):
     """Jitted single detector train step (see detector_step_core)."""
-    step = detector_step_core(model, tx, loss_cfg, compute_dtype)
+    step = detector_step_core(model, tx, loss_cfg, compute_dtype,
+                              remat=remat)
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
     repl = NamedSharding(mesh, P())

@@ -485,6 +485,48 @@ def test_enable_compile_cache_honors_jax_platforms_env(monkeypatch, tmp_path):
         enable_compile_cache()  # restore the shared cache dir for later tests
 
 
+def test_remat_step_matches_plain():
+    """--remat (jax.checkpoint around the loss) changes the memory
+    schedule, not the math: one train step with remat produces the same
+    loss and parameters as without (trainer.maybe_remat)."""
+    import jax
+    import numpy as np
+
+    from glamr_tpu.models import MotionInfillerConfig, MotionInfillerVAE
+    from glamr_tpu.models.configs import TransformerSpec
+    from glamr_tpu.train import init_infiller
+    from glamr_tpu.train.trainer import infiller_step_core, make_tx
+
+    tf = TransformerSpec(nlayer=1, model_dim=32, nhead=2, ff_dim=64,
+                         dropout=0.0)
+    cfg = MotionInfillerConfig(
+        nz=8, past_nframe=2, cur_nframe=4, fut_nframe=2, ctx_in_fc=32,
+        ctx_transformer=tf, enc_transformer=tf, dec_transformer=tf,
+        prior_transformer=tf, dec_out_mlp=(32,),
+    )
+    model = MotionInfillerVAE(cfg)
+    tx = make_tx(1e-3)
+    rng = jax.random.PRNGKey(0)
+    loss_cfg = {"mse": {"weight": 1.0, "body_only": True},
+                "vae_z_kld": {"weight": 1e-3, "min_clip": 0.0}}
+    r = np.random.default_rng(0)
+    B, W = 4, cfg.window_len
+    batch = {
+        "in_body_pose": r.normal(size=(B, W, 69)).astype(np.float32),
+        "gt_body_pose": r.normal(size=(B, W, 69)).astype(np.float32),
+        "frame_mask": np.ones((B, W), np.float32),
+    }
+    outs = {}
+    for remat in (False, True):
+        step = jax.jit(infiller_step_core(model, tx, loss_cfg, remat=remat))
+        state, metrics = step(init_infiller(model, tx, rng), batch, rng)
+        outs[remat] = (float(metrics["loss"]), jax.tree.leaves(state.params))
+    assert outs[False][0] == outs[True][0]
+    for a, b in zip(outs[False][1], outs[True][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_accelerator_usable_probe(monkeypatch):
     """accelerator_usable: trusts plain environments (no tunnel env var),
     and short-circuits False when the tunnel relay is dead — without ever
