@@ -230,7 +230,13 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
               "root_trans": gt_root_c.astype(np.float32)}}
 
     cfg = Config(recon_cfg_id)
-    opt = GlobalReconOptimizer(cfg, smpl=smpl)
+    # full flagship graph: the joint CVAE model (trained checkpoints when
+    # present) infills occluded motion and predicts the global trajectory
+    # inside the optimize, matching the run_demo pipeline scope
+    from glamr_tpu.models import load_joint_model
+    jm = load_joint_model(Config(cfg.grecon_model_specs["motion_traj_cfg"]),
+                          smpl=smpl)
+    opt = GlobalReconOptimizer(cfg, joint_model=jm, smpl=smpl)
     t0 = time.time()
     out = opt.optimize({"est": est, "gt": gt, "gt_meta": {},
                         "seq_name": "stage1_e2e"})
@@ -262,7 +268,8 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
 
     ev = Evaluator(algo="glamr_tpu", dataset="", smpl=smpl)
     md = ev.compute_sequence_metrics(out, accumulate=False)
-    metrics = {k: float(v.avg) for k, v in md["metrics"].items()}
+    # some metrics accumulate arrays (per-seed sample metrics); report means
+    metrics = {k: float(np.mean(v.avg)) for k, v in md["metrics"].items()}
     metrics.update({"recon_wall_s": wall, "num_fr": T,
                     "tracked_frames": int(est[0]["frames"].shape[0])})
     return metrics
