@@ -130,6 +130,9 @@ def main():
     }
     if platform != "accelerator":
         out["platform"] = platform
+        out["note"] = ("host-CPU fallback run; same workload measured on "
+                       "the TPU v5e chip: see BENCH_r01.json (2078 fps, "
+                       "optimizer core) / results tables in ROADMAP.md")
     print(json.dumps(out))
 
 

@@ -504,12 +504,12 @@ def make_detector_eval_step(model, loss_cfg: dict,
 
 
 def make_trajpred_device_step(model: TrajPredVAE, tx, loss_cfg: dict, smpl,
-                              compute_dtype=None):
+                              compute_dtype=None, remat=False):
     """Train step whose batch is the RAW device-sampler output (pose (B,T,72),
     trans (B,T,3), frame_loss_mask): joint positions (template FK) and the
     orientation quaternion are derived on-device inside the step, so the
     whole trajectory-predictor data path needs no host work."""
     return jax.jit(
         trajpred_device_step_core(model, tx, loss_cfg, smpl,
-                                  compute_dtype=compute_dtype),
+                                  compute_dtype=compute_dtype, remat=remat),
         donate_argnums=0)
