@@ -87,10 +87,61 @@ class GreedyTracker:
         }
 
 
-def track_detections(dets_per_frame, **kwargs) -> dict:
+def merge_tracks(tracks: dict, merge_dist: float = 96.0, max_gap: int = 90,
+                 overlap_tol: int = 5) -> dict:
+    """Chain track fragments of the same person across detection gaps.
+
+    When the detector loses a person for longer than the tracker's
+    max_miss (occlusion, pose the detector was not trained on), the
+    track restarts under a NEW id even though the person barely moved.
+    Downstream this matters twice over: the global recon optimizer
+    treats every id as a distinct person, and the motion infiller
+    exists precisely to fill in-track gaps (reference carries stable
+    identities across misses via its MPT tracker,
+    hybrik_demo/demo.py:114-142 — gaps inside a track become the
+    invisible frames the infiller completes, global_recon_model.py:353).
+
+    Greedy chronological chaining: fragments sorted by start frame; a
+    later fragment joins an earlier chain when its start lies within
+    max_gap frames after the chain's end (temporal overlaps up to
+    overlap_tol are resolved by dropping the overlapping head of the
+    later fragment) and the chain-end / fragment-start keypoint centers
+    are within merge_dist pixels. Among eligible chains the nearest by
+    center wins, so two people standing apart never cross-merge.
+    """
+    frags = sorted(tracks.values(),
+                   key=lambda t: (int(t["frames"][0]), int(t["frames"][-1])))
+    chains: list[dict] = []
+    for f in frags:
+        frames = np.asarray(f["frames"], np.int64)
+        kp = np.asarray(f["kp_2d"], np.float32)
+        conf = np.asarray(f["conf"], np.float32)
+        start_c = kp[0].mean(axis=0)
+        best, best_d = None, np.inf
+        for ch in chains:
+            gap = int(frames[0]) - int(ch["frames"][-1])
+            if gap > max_gap or gap < -overlap_tol:
+                continue
+            d = float(np.linalg.norm(ch["kp_2d"][-1].mean(axis=0) - start_c))
+            if d <= merge_dist and d < best_d:
+                best, best_d = ch, d
+        if best is None:
+            chains.append({"frames": frames, "kp_2d": kp, "conf": conf})
+            continue
+        keep = frames > best["frames"][-1]
+        best["frames"] = np.concatenate([best["frames"], frames[keep]])
+        best["kp_2d"] = np.concatenate([best["kp_2d"], kp[keep]])
+        best["conf"] = np.concatenate([best["conf"], conf[keep]])
+    chains.sort(key=lambda ch: int(ch["frames"][0]))
+    return {pid: ch for pid, ch in enumerate(chains)}
+
+
+def track_detections(dets_per_frame, merge: bool = True,
+                     merge_dist: float = 96.0, max_gap: int = 90,
+                     **kwargs) -> dict:
     """Convenience: list of per-frame decode_detections outputs (host
     numpy, one dict per frame with 'centers', 'kp_2d', 'kp_conf',
-    'scores', 'valid') -> tracks dict."""
+    'scores', 'valid') -> tracks dict (fragment-merged by default)."""
     tr = GreedyTracker(**kwargs)
     for fi, det in enumerate(dets_per_frame):
         v = np.asarray(det["valid"], bool)
@@ -98,4 +149,7 @@ def track_detections(dets_per_frame, **kwargs) -> dict:
                   np.asarray(det["kp_2d"])[v],
                   np.asarray(det["kp_conf"])[v],
                   np.asarray(det["scores"])[v])
-    return tr.finalize()
+    tracks = tr.finalize()
+    if merge:
+        tracks = merge_tracks(tracks, merge_dist=merge_dist, max_gap=max_gap)
+    return tracks

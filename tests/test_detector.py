@@ -182,6 +182,71 @@ def test_tracker_miss_tolerance_and_min_len():
     assert tracks[0]["frames"].shape[0] == 10  # survived the dropout
 
 
+def _frag(frames, center, K=24):
+    frames = np.asarray(frames, np.int64)
+    c = np.asarray(center, np.float32)
+    kp = np.tile(c[None, None], (len(frames), K, 1))
+    return {"frames": frames, "kp_2d": kp,
+            "conf": np.ones((len(frames), K), np.float32)}
+
+
+def test_merge_tracks_rejoins_gap_fragments():
+    """A detection gap longer than max_miss restarts the track under a
+    new id; merge_tracks chains the fragments back into one identity
+    (two people, both fragmented, as observed on the reference
+    basketball.mp4 demo video)."""
+    from glamr_tpu.pose_est.tracker import merge_tracks
+
+    tracks = {
+        0: _frag(range(4, 69), (840, 596)),      # person A, leg 1
+        1: _frag(range(51, 78), (320, 526)),     # person B, leg 1
+        2: _frag(range(81, 299), (837, 597)),    # person A after 13-fr gap
+        3: _frag(range(151, 192), (318, 524)),   # person B after 73-fr gap
+    }
+    merged = merge_tracks(tracks)
+    assert len(merged) == 2
+    a = merged[0] if merged[0]["frames"][0] == 4 else merged[1]
+    b = merged[1] if a is merged[0] else merged[0]
+    assert a["frames"][0] == 4 and a["frames"][-1] == 298
+    assert b["frames"][0] == 51 and b["frames"][-1] == 191
+    # strictly increasing frames, kp rows aligned
+    for t in merged.values():
+        assert (np.diff(t["frames"]) > 0).all()
+        assert t["kp_2d"].shape[0] == t["frames"].shape[0]
+        assert t["conf"].shape[0] == t["frames"].shape[0]
+
+
+def test_merge_tracks_respects_distance_and_gap_gates():
+    """Fragments far apart in space or beyond max_gap in time stay
+    separate identities."""
+    from glamr_tpu.pose_est.tracker import merge_tracks
+
+    # far apart in space, adjacent in time -> no merge
+    far = merge_tracks({0: _frag(range(0, 30), (100, 100)),
+                        1: _frag(range(40, 70), (600, 500))})
+    assert len(far) == 2
+    # same spot but a gap beyond max_gap -> no merge
+    late = merge_tracks({0: _frag(range(0, 30), (100, 100)),
+                         1: _frag(range(200, 230), (100, 100))},
+                        max_gap=90)
+    assert len(late) == 2
+
+
+def test_merge_tracks_trims_small_overlap():
+    """A fragment overlapping the chain tail by <= overlap_tol frames is
+    merged with its overlapping head dropped (no duplicate frames)."""
+    from glamr_tpu.pose_est.tracker import merge_tracks
+
+    tracks = {0: _frag(range(0, 50), (100, 100)),
+              1: _frag(range(47, 90), (104, 100))}
+    merged = merge_tracks(tracks, overlap_tol=5)
+    assert len(merged) == 1
+    fr = merged[0]["frames"]
+    assert fr[0] == 0 and fr[-1] == 89
+    assert (np.diff(fr) > 0).all()
+    assert len(fr) == 90
+
+
 def test_detect_video_shapes(tiny_cfg):
     """detect_video letterboxes arbitrary frame sizes and maps keypoints
     back to original pixels."""
