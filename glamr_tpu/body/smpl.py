@@ -244,7 +244,8 @@ def get_smpl(pose_type: str = "body26fk", synthetic: bool | None = None,
     """
     key = (pose_type, synthetic, num_verts)
     if key not in _DEFAULT:
-        with jax.default_device(jax.devices("cpu")[0]):
+        from ..utils.cache import host_prep_scope
+        with host_prep_scope():
             if synthetic:
                 model = synthetic_smpl_model(num_verts or 1728)
             else:

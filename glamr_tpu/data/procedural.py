@@ -182,7 +182,8 @@ def procedural_amass_data(num_seqs: int = 64, min_len: int = 120,
     # pin the per-sequence FK prep to the CPU backend: many small eager
     # ops; dispatching them to a (possibly remote) accelerator costs a
     # round-trip each
-    with jax.default_device(jax.devices("cpu")[0]):
+    from ..utils.cache import host_prep_scope
+    with host_prep_scope():
         return process_amass(motions, smpl=smpl, source_fps=30.0,
                              target_fps=30.0, min_seq_len=min(60, min_len),
                              train_ratio=train_ratio, seed=seed)

@@ -116,7 +116,8 @@ def synthetic_pose_est(num_fr: int, num_persons: int = 1, seed: int = 0,
 
     # data generation runs on the CPU backend (tiny ops; avoid remote-TPU
     # compile round-trips)
-    with jax.default_device(jax.devices("cpu")[0]):
+    from ..utils.cache import host_prep_scope
+    with host_prep_scope():
         return _synthetic_pose_est_impl(
             num_fr, num_persons, seed, img_w, img_h, pose_est_dir)
 

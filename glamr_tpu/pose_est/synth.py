@@ -56,7 +56,8 @@ class LifterDataGen:
         thetas = list(data.values())
         if thetas:
             flat = np.concatenate(thetas, axis=0)
-            with jax.default_device(jax.devices("cpu")[0]):
+            from ..utils.cache import host_prep_scope
+            with host_prep_scope():
                 pose = jnp.asarray(flat[:, 3:75])
                 beta = jnp.asarray(flat[:, 75:85])
                 _, j = lbs(smpl.model, beta, pose, want_verts=False)

@@ -92,7 +92,14 @@ class DetectorDataGen:
             def f(pose, beta):
                 return lbs(model, beta, pose)
 
-            self._lbs_fn = jax.jit(f, backend="cpu")
+            # pin to the CPU backend when one is registered (tiny batched
+            # host-prep op; see utils.cache.host_prep_scope for why some
+            # plugins expose no 'cpu' backend)
+            try:
+                jax.devices("cpu")
+                self._lbs_fn = jax.jit(f, backend="cpu")
+            except RuntimeError:
+                self._lbs_fn = jax.jit(f)
         v, j = self._lbs_fn(jnp.asarray(pose72), jnp.asarray(beta))
         return np.asarray(v), np.asarray(j)
 

@@ -210,8 +210,8 @@ class GlobalReconOptimizer:
         pad_to buckets the frame axis so dataset sweeps reuse compiled
         shapes; loss normalization uses the true length.
         """
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
+        from ..utils.cache import host_prep_scope
+        with host_prep_scope():
             return self._init_data(in_dict, seed, pad_to)
 
     def _init_data(self, in_dict: dict, seed: int = 0, pad_to: int = 0) -> dict:

@@ -71,6 +71,29 @@ def accelerator_usable(timeout_s: float = 150.0) -> bool:
         return False
 
 
+def host_prep_scope():
+    """Context manager pinning eager host-side prep to the CPU backend.
+
+    Many once-per-sequence prep paths issue dozens of tiny ops; with a
+    (possibly remote) accelerator as the default device each costs a
+    compile + tunnel round-trip, so they run on the CPU backend instead.
+    Some accelerator plugins register ONLY their own platform (observed:
+    the tunneled-TPU plugin exposing just ['axon']), making
+    `jax.devices("cpu")` raise — in that case fall back to the default
+    device rather than crashing: correctness is unaffected, only the
+    dispatch-locality optimization is lost.
+    """
+    import contextlib
+
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str:
     """Point jax at a persistent compile cache and persist EVERYTHING
     (no min-compile-time / min-size thresholds). Returns the directory.
