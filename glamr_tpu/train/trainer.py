@@ -14,6 +14,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -455,20 +456,29 @@ def make_detector_pool_sampler(pool: dict, batch_size: int,
 
     Returns (sample_fn, num_images); sample_fn is jit-composable.
     """
+    # store each entry ROW-FLATTENED: a gather over [N, prod(shape)] rows
+    # tiles the lane dim cleanly (e.g. 32*32*24 = 192*128), while the
+    # logical [N, 32, 32, 24] layout lane-pads 24 -> 128 (5.3x) and the
+    # gather fusion's row staging then exceeds the TPU's 16 MB scoped-vmem
+    # limit (observed: 18 MB alloc, libtpu AOT compile failure). The
+    # reshape back to logical shape happens on the gathered batch.
+    shapes = {k: tuple(np.asarray(v).shape[1:]) for k, v in pool.items()}
+    flat = {k: np.asarray(v).reshape(len(v), -1) for k, v in pool.items()}
     if mesh is not None:
         # replicate the pool over the mesh so each device's shard of the
         # batch gathers locally (same layout as data/device_sampler.py)
         repl = NamedSharding(mesh, P())
         dev = {k: jax.device_put(jnp.asarray(v), repl)
-               for k, v in pool.items()}
+               for k, v in flat.items()}
     else:
-        dev = {k: jnp.asarray(v) for k, v in pool.items()}
+        dev = {k: jnp.asarray(v) for k, v in flat.items()}
     n = int(dev["images"].shape[0])
 
     def sample(key):
         ki, kb, ko, kn = jax.random.split(key, 4)
         idx = jax.random.randint(ki, (batch_size,), 0, n)
-        b = {k: v[idx] for k, v in dev.items()}
+        b = {k: v[idx].reshape((batch_size,) + shapes[k])
+             for k, v in dev.items()}
         img = b["images"].astype(jnp.float32) / 255.0
         bright = jax.random.uniform(kb, (batch_size, 1, 1, 1),
                                     minval=0.75, maxval=1.25)
