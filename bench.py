@@ -33,6 +33,58 @@ import sys
 import time
 
 
+def run_profile(opt, in_dict, T, P):
+    """--profile: roofline table for the hot programs (stage scans, CVAE
+    window-scan inference, infiller train step) — achieved FLOP/s and HBM
+    bandwidth vs TPU v5e peak via XLA cost analysis (utils/profile.py)."""
+    import jax
+    import numpy as np
+
+    from glamr_tpu.utils.profile import (TPU_PEAKS, format_table,
+                                         profile_jitted, utilization_row)
+
+    opt.enable_profiling()
+    opt.optimize(in_dict)  # records each unique program on first run
+    prof = opt.profile_results()
+
+    # infiller train step at the production batch size
+    from glamr_tpu.models import MotionInfillerConfig, MotionInfillerVAE
+    from glamr_tpu.train import init_infiller, make_infiller_train_step
+    from glamr_tpu.train.trainer import make_tx
+    from glamr_tpu.utils import Config
+
+    mf_yaml = Config("motion_infiller_demo")
+    mmodel = MotionInfillerVAE(MotionInfillerConfig.from_dict(mf_yaml.model_specs))
+    tx = make_tx(1e-3)
+    rng = jax.random.PRNGKey(0)
+    state = init_infiller(mmodel, tx, rng)
+    step = make_infiller_train_step(mmodel, tx, mf_yaml.loss_cfg)
+    B, W = 1024, mmodel.cfg.window_len
+    r = np.random.default_rng(0)
+    batch = {k: jax.device_put(v) for k, v in {
+        "in_body_pose": r.standard_normal((B, W, 69)).astype(np.float32),
+        "gt_body_pose": r.standard_normal((B, W, 69)).astype(np.float32),
+        "frame_mask": np.ones((B, W), np.float32)}.items()}
+    step(state, batch, rng)  # compile outside the timed window
+    prof["infiller_train_step(bs1024)"] = profile_jitted(
+        step, (state, batch, rng),
+        force=lambda o: np.asarray(o[1]["loss"]))
+
+    plat = jax.devices()[0].platform
+    peaks = TPU_PEAKS["v5e" if plat != "cpu" else "cpu"]
+    rows = [utilization_row(k, v, peaks) for k, v in prof.items()]
+    print(f"\n== roofline ({plat}; peaks: "
+          f"{peaks['flops'] / 1e12:.0f} TFLOP/s bf16, "
+          f"{peaks['hbm_bytes'] / 1e9:.0f} GB/s HBM) ==", file=sys.stderr)
+    print(format_table(rows), file=sys.stderr)
+    out = "out/glamr_tpu/profile.json"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({"platform": plat, "workload": f"T={T} P={P}",
+                   "peaks": peaks, "rows": rows}, f, indent=2)
+    print(f"wrote {out}", file=sys.stderr)
+
+
 def main():
     from glamr_tpu.utils.cache import accelerator_usable
 
@@ -49,21 +101,12 @@ def main():
         print("TPU unusable (dead tunnel / held claim / version skew) -- "
               "benchmarking on host CPU", file=sys.stderr)
 
-    import jax
+    # persistent compile cache + JAX_PLATFORMS handling (keeps the host
+    # 'cpu' backend registered next to the accelerator so host_prep_scope
+    # can pin tiny eager init ops off the tunnel — see utils/cache.py)
+    from glamr_tpu.utils.cache import enable_compile_cache
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # platform plugins rewrite jax_platforms at import; restore
-        # env-var semantics (see glamr_tpu/utils/cache.py)
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-    # persistent compile cache: production sweeps and repeat bench runs
-    # skip the (minutes-long over the TPU tunnel) compile entirely.
-    # Cache EVERYTHING: cold time is dominated by dozens of small helper
-    # programs, each under the default 1.0 s persistence threshold, so
-    # with the default they recompile every process
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    enable_compile_cache()
 
     from __graft_entry__ import _synthetic_in_dict
     from glamr_tpu.body import get_smpl
@@ -127,6 +170,11 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline_fps, 2),
+        # machine-visible series for BOTH scopes so a regression in either
+        # can't hide in stderr (the round-2 core slowdown was stderr-only)
+        "core_fps": round(T / core_warm, 3),
+        "warm_s": round(warm, 3),
+        "core_warm_s": round(core_warm, 3),
     }
     if platform != "accelerator":
         out["platform"] = platform
@@ -134,6 +182,9 @@ def main():
                        "the TPU v5e chip: see BENCH_r01.json (2078 fps, "
                        "optimizer core) / results tables in ROADMAP.md")
     print(json.dumps(out))
+
+    if "--profile" in sys.argv:
+        run_profile(opt, in_dict, T, P)
 
 
 if __name__ == "__main__":

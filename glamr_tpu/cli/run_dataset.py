@@ -60,6 +60,10 @@ def main(argv=None):
     parser.add_argument("--vmap_seeds", type=int, default=1,
                         help="run all seeds of a sequence as ONE vmapped "
                              "program (S seeds ~ cost of 1); 0 = serial")
+    parser.add_argument("--block_per_stage", action="store_true",
+                        help="debug timing: force each stage program to "
+                             "completion so per-stage log lines show true "
+                             "device time (default: async dispatch)")
     parser.add_argument("--pad_to", type=int, default=0,
                         help="bucket sequence lengths up to multiples of "
                              "this (reuses compiled stage programs across "
@@ -89,7 +93,8 @@ def main(argv=None):
             joint_model = load_joint_model(Config(specs["motion_traj_cfg"]))
         except FileNotFoundError as e:
             log.info(f"joint model unavailable ({e}); using est-derived traj")
-    grecon = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log)
+    grecon = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log,
+                                  block_per_stage=args.block_per_stage)
 
     def dump(seq, seed, out_dict):
         out_file = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")

@@ -39,6 +39,10 @@ def main(argv=None):
                              "lifter -> pose.pkl (pose_est/estimator.py "
                              "video_pose_est) — no HybrIK, no external "
                              "detector")
+    parser.add_argument("--block_per_stage", action="store_true",
+                        help="debug timing: force each stage program to "
+                             "completion so per-stage log lines show true "
+                             "device time (default: async dispatch)")
     parser.add_argument("--num_fr", type=int, default=150,
                         help="frames for --synthetic_pose_est without video")
     args = parser.parse_args(argv)
@@ -94,7 +98,8 @@ def main(argv=None):
         except FileNotFoundError as e:
             log.info(f"joint model unavailable ({e}); using est-derived traj")
 
-    grecon = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log)
+    grecon = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log,
+                                  block_per_stage=args.block_per_stage)
     in_dict = {"est": est, "gt": {}, "gt_meta": {}, "seq_name": seq_name}
 
     outs = {}

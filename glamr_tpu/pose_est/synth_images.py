@@ -87,20 +87,22 @@ class DetectorDataGen:
         from ..body.lbs import lbs
 
         if self._lbs_fn is None:
+            from ..utils.cache import host_cpu_device
+
             model = self.smpl.model
 
             def f(pose, beta):
                 return lbs(model, beta, pose)
 
-            # pin to the CPU backend when one is registered (tiny batched
-            # host-prep op; see utils.cache.host_prep_scope for why some
-            # plugins expose no 'cpu' backend)
-            try:
-                jax.devices("cpu")
-                self._lbs_fn = jax.jit(f, backend="cpu")
-            except RuntimeError:
-                self._lbs_fn = jax.jit(f)
-        v, j = self._lbs_fn(jnp.asarray(pose72), jnp.asarray(beta))
+            # pin via committed inputs when a CPU backend is registered
+            # (tiny batched host-prep op; jit(backend=...) is deprecated
+            # on jax 0.9 — input placement decides the backend instead)
+            self._lbs_dev = host_cpu_device()
+            self._lbs_fn = jax.jit(f)
+        args = (jnp.asarray(pose72), jnp.asarray(beta))
+        if self._lbs_dev is not None:
+            args = jax.device_put(args, self._lbs_dev)
+        v, j = self._lbs_fn(*args)
         return np.asarray(v), np.asarray(j)
 
     def sample(self, rng: np.random.Generator) -> dict:

@@ -21,6 +21,7 @@ same output keys the visualizer/evaluator consume.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -49,7 +50,8 @@ from .losses import compute_losses
 
 
 class GlobalReconOptimizer:
-    def __init__(self, cfg, joint_model=None, log=None, smpl=None):
+    def __init__(self, cfg, joint_model=None, log=None, smpl=None,
+                 block_per_stage: bool = False):
         """cfg: utils.Config with grecon_model_specs + opt_stage_specs.
 
         joint_model: optional models.JointModel providing CVAE motion
@@ -57,7 +59,20 @@ class GlobalReconOptimizer:
         motion_traj_cfg checkpoints at :69-74). Without it, the base
         trajectory is derived from the per-frame estimates ('est' source),
         which exercises the identical optimization graph.
+
+        block_per_stage: debug timing mode — force each stage program to
+        completion (by fetching its final loss scalar; block_until_ready
+        can return early over the TPU tunnel) so per-stage log lines show
+        TRUE device time instead of async dispatch latency. Adds one tiny
+        transfer per stage; keep off in production (also settable via
+        GLAMR_BLOCK_PER_STAGE=1).
         """
+        self.block_per_stage = block_per_stage or bool(
+            int(os.environ.get("GLAMR_BLOCK_PER_STAGE", "0") or "0"))
+        # roofline profiling store: None = off; enable_profiling() makes
+        # every unique stage program (and the CVAE-init program) record
+        # XLA cost analysis + forced-completion timing on first run
+        self._profile = None
         self.cfg = cfg
         self.specs = specs = cfg.get("grecon_model_specs", {})
         self.log = log or create_logger()
@@ -197,6 +212,17 @@ class GlobalReconOptimizer:
             trans_w[p, :s], trans_w[p, e:] = trans_w[p, s], trans_w[p, e - 1]
         return traj_local_pred, orient_w, trans_w
 
+    def enable_profiling(self) -> None:
+        """Record XLA cost analysis (FLOPs, bytes accessed) + forced-
+        completion timing for each unique compiled program on its first
+        run (stage programs keyed 'stage:<name>[+latents]', the CVAE-init
+        inference keyed 'cvae_init'). Read back via profile_results().
+        Debug aid: the AOT lower/compile pass adds one-time cost."""
+        self._profile = {}
+
+    def profile_results(self) -> dict:
+        return dict(self._profile or {})
+
     def init_data(self, in_dict: dict, seed: int = 0, pad_to: int = 0) -> dict:
         """Host-side data init -> {'const', 'params', 'bp', meta...}.
 
@@ -250,10 +276,16 @@ class GlobalReconOptimizer:
         # same batched span-rolled decode the latent-optimization phase
         # uses, so switching to live latents at opt_latent_start_iter is
         # value-continuous. Per-seed prior samples seed the latents.
+        #
+        # This is the one HEAVY block of init_data (infiller window scan +
+        # trajectory decode); it runs as ONE jitted program committed to
+        # the accelerator — NOT under the surrounding host_prep_scope,
+        # which exists for the tiny eager ops around it. Pinning this to
+        # the host CPU costs ~9 s vs ~0.1 s on-device for the 900-frame
+        # flagship workload (the round-2 "optimizer core regression").
         init_latents = None
         if self.joint_model is not None and self.flag_infer_motion_traj:
             from ..models.motion_infiller import num_windows
-            from .forward import cvae_pred
 
             jm = self.joint_model
             eps_rng = np.random.default_rng(seed)
@@ -263,29 +295,24 @@ class GlobalReconOptimizer:
             traj_eps = eps_rng.standard_normal(
                 (P, jm.trajpred.cfg.nz)).astype(np.float32)
             init_latents = (motion_eps, traj_eps)
-            params_stub = {"motion_latent": jnp.asarray(motion_eps),
-                           "traj_latent": jnp.asarray(traj_eps)}
+            params_stub = {"motion_latent": motion_eps,
+                           "traj_latent": traj_eps}
             const_stub = {
-                "in_pose_rolled": jnp.asarray(in_pose_rolled0),
-                "mask_rolled": jnp.asarray(mask_rolled0),
-                "unroll_idx": jnp.asarray(unroll_idx0),
-                "exist_mask": jnp.asarray(bp.exist_frames.astype(np.float32)),
-                "smpl_pose": jnp.asarray(bp.smpl_pose),
-                "span_len": jnp.asarray(
-                    (bp.fr_end - bp.fr_start).astype(np.int32)),
+                "in_pose_rolled": in_pose_rolled0,
+                "mask_rolled": mask_rolled0,
+                "unroll_idx": unroll_idx0,
+                "exist_mask": bp.exist_frames.astype(np.float32),
+                "smpl_pose": bp.smpl_pose,
+                "span_len": (bp.fr_end - bp.fr_start).astype(np.int32),
             }
-            smpl_pose_j, traj_local_pred_j = cvae_pred(params_stub, const_stub, jm)
-            if self.flag_infill_motion:
-                bp.smpl_pose = np.asarray(smpl_pose_j)
-            traj_local_pred = np.array(traj_local_pred_j)  # writable copy
-            trans_j, orient_q_j = traj_local2global_heading(traj_local_pred_j)
-            clamp = jnp.asarray(np.stack([
+            clamp = np.stack([
                 np.clip(np.arange(T), int(bp.fr_start[p]), int(bp.fr_end[p]) - 1)
-                for p in range(P)]))
-            trans_j = jnp.take_along_axis(trans_j, clamp[..., None], axis=1)
-            orient_q_j = jnp.take_along_axis(orient_q_j, clamp[..., None], axis=1)
-            orient_w = np.asarray(quaternion_to_angle_axis(orient_q_j))
-            trans_w = np.asarray(trans_j)
+                for p in range(P)]).astype(np.int32)
+            smpl_pose_j, traj_local_pred, orient_w, trans_w = \
+                self._run_cvae_init(params_stub, const_stub, clamp)
+            if self.flag_infill_motion:
+                bp.smpl_pose = smpl_pose_j
+            traj_local_pred = np.array(traj_local_pred)  # writable copy
         else:
             if not self.flags.pred_traj or not self.flag_infer_motion_traj:
                 orient_w, trans_w = self._traj_base_from_est(bp)
@@ -419,6 +446,41 @@ class GlobalReconOptimizer:
             "seq_name": in_dict.get("seq_name", "seq"),
             "gt": in_dict.get("gt", {}), "gt_meta": in_dict.get("gt_meta", {}),
         }
+
+    def _run_cvae_init(self, params_stub, const_stub, clamp):
+        """Init-time CVAE inference as one accelerator program.
+
+        Fuses cvae_pred (infiller window scan + traj decode) with the
+        base-trajectory integration + span clamp and returns host numpy in
+        one packed transfer. Inputs are committed to the default backend
+        device so the surrounding host_prep_scope (CPU-pinned eager prep)
+        does not apply — the reference runs this exact compute on its GPU
+        (global_recon_model.py:153-159,353)."""
+        if not hasattr(self, "_cvae_init_jit"):
+            from .forward import cvae_pred
+
+            jm = self.joint_model
+
+            def f(params_stub, const_stub, clamp):
+                smpl_pose, traj_local_pred = cvae_pred(
+                    params_stub, const_stub, jm)
+                trans, orient_q = traj_local2global_heading(traj_local_pred)
+                trans = jnp.take_along_axis(trans, clamp[..., None], axis=1)
+                orient_q = jnp.take_along_axis(
+                    orient_q, clamp[..., None], axis=1)
+                orient_w = quaternion_to_angle_axis(orient_q)
+                return smpl_pose, traj_local_pred, orient_w, trans
+
+            self._cvae_init_jit = jax.jit(f)
+        dev = jax.devices()[0]
+        args = jax.device_put((params_stub, const_stub, clamp), dev)
+        if self._profile is not None and "cvae_init" not in self._profile:
+            from ..utils.profile import profile_jitted
+
+            self._profile["cvae_init"] = profile_jitted(
+                self._cvae_init_jit, args,
+                force=lambda o: np.asarray(o[2][0, 0]))
+        return device_get_tree(self._cvae_init_jit(*args))
 
     def _init_params(self, P: int, T: int) -> dict:
         z = lambda *s: jnp.zeros(s, jnp.float32)
@@ -658,7 +720,21 @@ class GlobalReconOptimizer:
                     n_it, ss["loss_cfg"], use_latents=live, vmapped=vmapped,
                     derived_use_latents=use_latents,
                 )
+                p_in = params
                 params, (h, uw), derived = run(params, const)
+                pkey = f"stage:{stage}" + ("+latents" if live else "")
+                if self._profile is not None and pkey not in self._profile:
+                    from ..utils.profile import profile_jitted
+
+                    self._profile[pkey] = profile_jitted(
+                        run, (p_in, const),
+                        force=lambda o: np.asarray(o[1][0][..., -1]))
+                if self.block_per_stage:
+                    # force this stage program to completion by fetching
+                    # its final loss scalar (block_until_ready can return
+                    # before the work ran over the TPU tunnel) — the
+                    # elapsed logged below is then true device time
+                    np.asarray(h[..., -1])
                 if collect is not None:
                     hists.append(h)
                     uw_hists.append(uw)
@@ -739,9 +815,12 @@ class GlobalReconOptimizer:
             # only non-final stages log dispatch-to-dispatch latency: the
             # last stage's window ends at the blocking output fetch, so
             # its elapsed time IS the schedule's absorbed device time
-            self._log_schedule_stage(data["seq_name"], stage, ss, hs, uws,
-                                     t1 - t0, False,
-                                     dispatch_timing=i + 1 < len(pending))
+            # under block_per_stage each window was forced to completion
+            # at dispatch time, so every elapsed IS device time
+            self._log_schedule_stage(
+                data["seq_name"], stage, ss, hs, uws, t1 - t0, False,
+                dispatch_timing=(i + 1 < len(pending)
+                                 and not self.block_per_stage))
         return out
 
     def _optimize_stacked(self, datas, seq_name, mesh=None):

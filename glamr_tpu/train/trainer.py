@@ -462,8 +462,9 @@ def make_detector_pool_sampler(pool: dict, batch_size: int,
     # gather fusion's row staging then exceeds the TPU's 16 MB scoped-vmem
     # limit (observed: 18 MB alloc, libtpu AOT compile failure). The
     # reshape back to logical shape happens on the gathered batch.
-    shapes = {k: tuple(np.asarray(v).shape[1:]) for k, v in pool.items()}
-    flat = {k: np.asarray(v).reshape(len(v), -1) for k, v in pool.items()}
+    arrs = {k: np.asarray(v) for k, v in pool.items()}  # one host copy per key
+    shapes = {k: a.shape[1:] for k, a in arrs.items()}
+    flat = {k: a.reshape(len(a), -1) for k, a in arrs.items()}
     if mesh is not None:
         # replicate the pool over the mesh so each device's shard of the
         # batch gathers locally (same layout as data/device_sampler.py)

@@ -71,26 +71,37 @@ def accelerator_usable(timeout_s: float = 150.0) -> bool:
         return False
 
 
+def host_cpu_device():
+    """The host CPU backend's first device, or None when the platform
+    plugin registers no 'cpu' backend (observed: the tunneled-TPU plugin
+    exposing just ['axon']). The single probe point for "can I pin tiny
+    eager prep work to the host?" — library code should use this instead
+    of calling jax.devices('cpu') directly."""
+    import jax
+
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def host_prep_scope():
     """Context manager pinning eager host-side prep to the CPU backend.
 
     Many once-per-sequence prep paths issue dozens of tiny ops; with a
     (possibly remote) accelerator as the default device each costs a
     compile + tunnel round-trip, so they run on the CPU backend instead.
-    Some accelerator plugins register ONLY their own platform (observed:
-    the tunneled-TPU plugin exposing just ['axon']), making
-    `jax.devices("cpu")` raise — in that case fall back to the default
-    device rather than crashing: correctness is unaffected, only the
-    dispatch-locality optimization is lost.
+    When no 'cpu' backend is registered (see host_cpu_device) fall back
+    to the default device rather than crashing: correctness is
+    unaffected, only the dispatch-locality optimization is lost.
     """
     import contextlib
 
+    cpu = host_cpu_device()
+    if cpu is None:
+        return contextlib.nullcontext()
     import jax
 
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        return contextlib.nullcontext()
     return jax.default_device(cpu)
 
 
@@ -103,11 +114,24 @@ def enable_compile_cache(cache_dir: str | None = None) -> str:
     time, silently overriding an explicit `JAX_PLATFORMS=cpu`; since
     every CLI calls this helper, re-applying the env var here makes
     `JAX_PLATFORMS` trustworthy across all entry points (previously only
-    cli/warmup.py did this locally)."""
+    cli/warmup.py did this locally).
+
+    When the env names a NON-cpu platform, the host 'cpu' backend is kept
+    registered alongside it (appended to the list — the named platform
+    stays first, hence the default). Re-applying a bare
+    `JAX_PLATFORMS=axon` verbatim deletes the CPU backend, which silently
+    disables host_prep_scope's host pinning and sends every tiny eager
+    init op over the accelerator tunnel — measured 2.2 s vs 0.6 s on the
+    900-frame flagship optimize (the round-2 "optimizer core
+    regression")."""
     import jax
 
     if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        plats = os.environ["JAX_PLATFORMS"]
+        names = [p.strip() for p in plats.split(",") if p.strip()]
+        if "cpu" not in names:
+            plats = ",".join(names + ["cpu"])
+        jax.config.update("jax_platforms", plats)
     d = (cache_dir
          or os.environ.get("GLAMR_CACHE_DIR")
          or os.environ.get("JAX_COMPILATION_CACHE_DIR")
