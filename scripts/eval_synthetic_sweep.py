@@ -1,0 +1,240 @@
+"""Synthetic-GT quality sweep: known-ground-truth sequences with
+controlled estimate degradation driven through the production
+run_dataset -> eval_dataset loop at FULL stage budgets.
+
+Complements scripts/eval_stage1.py (which measures the in-framework
+detector/lifter/IK and a rendered-video e2e): here the per-frame
+estimates are GT + controlled noise/occlusion, so the numbers isolate
+what the global recon optimizer itself contributes — denoising, camera
+solve, and CVAE occlusion infill — measured with the reference's exact
+evaluation protocol (PA-MPJPE / G-MPJPE / ACCEL, 250-frame alignment,
+seed min/mean; /root/reference/global_recon/utils/evaluator.py:329-386).
+
+Degradation model (defaults):
+  - 2D keypoints: +N(0, 2 px)
+  - body pose (est only): +N(0, 0.05 rad) per axis-angle component
+  - root depth (est only): +N(0, 2 cm) random walk
+  - one occluded span of ~15% of frames per person (exist=0; the motion
+    infiller must complete these frames)
+
+Usage:
+    python scripts/eval_synthetic_sweep.py --cfg glamr_3dpw \
+        --num_seqs 6 --seq_len 300 --seeds 1,2,3 \
+        --out out/glamr_tpu/synthetic_sweep.json
+"""
+import argparse
+import json
+import os
+import pickle
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="glamr_3dpw")
+    p.add_argument("--num_seqs", type=int, default=6)
+    p.add_argument("--seq_len", type=int, default=300)
+    p.add_argument("--seeds", default="1,2,3")
+    p.add_argument("--data_seed", type=int, default=77,
+                   help="procedural-motion seed (held out from training)")
+    p.add_argument("--kp_noise_px", type=float, default=2.0)
+    p.add_argument("--pose_noise", type=float, default=0.05)
+    p.add_argument("--depth_noise", type=float, default=0.02)
+    p.add_argument("--occl_frac", type=float, default=0.15)
+    p.add_argument("--workdir", default="out/glamr_tpu/synthetic_sweep")
+    p.add_argument("--out", default="out/glamr_tpu/synthetic_sweep.json")
+    p.add_argument("--pad_to", type=int, default=0,
+                   help="bucket lengths (0 = exact; all seqs share seq_len "
+                        "so one compiled program either way)")
+    return p.parse_args()
+
+
+def build_sequence(theta, rng, args, smpl, m26to24, K):
+    """One synthetic GT pkl + degraded est dict from an (T, 85) theta.
+
+    GT stored in the 3DPW y-up world convention (the Evaluator applies
+    the +90deg-x fix to GT, evaluator.py:339-344 in the reference), est
+    in the z-up camera==world frame (identity extrinsics — the
+    glamr_3dpw cam-from-person mode solves the camera from the person
+    pose either way).
+    """
+    import jax.numpy as jnp
+
+    from glamr_tpu.transforms import (angle_axis_to_quaternion,
+                                      angle_axis_to_rotation_matrix,
+                                      quat_apply, quat_mul,
+                                      quaternion_to_angle_axis)
+
+    T = theta.shape[0]
+    trans = theta[:, :3].astype(np.float32)
+    pose = theta[:, 3:75].astype(np.float32)
+    beta = np.tile(theta[:, 75:85].mean(0, keepdims=True),
+                   (T, 1)).astype(np.float32)
+
+    # recenter xy only (keep natural root height); camera 4 m back on -y
+    trans[:, :2] -= trans[:, :2].mean(0, keepdims=True)
+    # z-up world -> camera frame (x_cam=+x_w, y_cam(down)=-z_w,
+    # z_cam(forward)=+y_w): R == Rx(+90 deg), rows = cam axes in world
+    Rc = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+    cam_origin = np.array([0.0, -4.0, float(trans[:, 2].mean())], np.float32)
+
+    oq = angle_axis_to_quaternion(jnp.asarray(pose[:, :3]))
+    Rcq = angle_axis_to_quaternion(jnp.asarray(
+        np.array([np.pi / 2, 0.0, 0.0], np.float32)))  # == Rc as quat
+    orient_cam = np.asarray(quaternion_to_angle_axis(
+        quat_mul(jnp.broadcast_to(Rcq, (T, 4)), oq)))
+    trans_cam = (trans - cam_origin) @ Rc.T
+
+    # GT in y-up 3DPW world: inverse of the evaluator's +90x fix applied
+    # to the z-up world
+    qinv = angle_axis_to_quaternion(jnp.asarray(
+        np.array([-np.pi / 2, 0.0, 0.0], np.float32)))
+    gt_oq = quat_mul(jnp.broadcast_to(qinv, (T, 4)), oq)
+    gt_pose = np.concatenate(
+        [np.asarray(quaternion_to_angle_axis(gt_oq)), pose[:, 3:]], -1)
+    gt_trans = np.asarray(quat_apply(jnp.broadcast_to(qinv, (T, 4)),
+                                     jnp.asarray(trans)))
+
+    gt_person = {
+        "pose": gt_pose.astype(np.float32), "shape": beta[0],
+        "trans": gt_trans.astype(np.float32),
+        "root_trans": gt_trans.astype(np.float32),
+        "visible": np.ones(T, np.int64),
+    }
+
+    # ---- degraded estimate (what a per-frame pose estimator would give)
+    est_pose_body = pose[:, 3:] + rng.normal(
+        0, args.pose_noise, (T, 69)).astype(np.float32)
+    est_orient = orient_cam + rng.normal(
+        0, args.pose_noise, (T, 3)).astype(np.float32)
+    depth_walk = np.cumsum(rng.normal(0, args.depth_noise / np.sqrt(T), T)
+                           ).astype(np.float32)
+    est_trans = trans_cam.copy()
+    est_trans[:, 2] += depth_walk
+
+    joints = np.asarray(smpl.joints_fast(
+        jnp.asarray(orient_cam), jnp.asarray(pose[:, 3:]),
+        jnp.asarray(beta), root_trans=jnp.asarray(trans_cam)))
+    kp26 = np.einsum("ij,tnj->tni", K, joints / joints[..., 2:3])[..., :2]
+    kp24 = np.zeros((T, 24, 2), np.float32)
+    kp24[:, m26to24[:, 1]] = kp26[:, m26to24[:, 0]]
+    kp24 += rng.normal(0, args.kp_noise_px, kp24.shape).astype(np.float32)
+
+    exist = np.ones(T, np.float32)
+    span = max(int(args.occl_frac * T), 1)
+    s0 = int(rng.integers(T // 4, T - span - T // 8))
+    exist[s0:s0 + span] = 0.0
+    vis = exist.astype(bool)  # est arrays cover only the visible frames
+
+    rotmats = np.asarray(angle_axis_to_rotation_matrix(jnp.asarray(
+        np.concatenate([est_orient[:, None],
+                        est_pose_body.reshape(T, 23, 3)], 1))))
+    est = {0: {
+        "smpl_pose_quat_wroot": rotmats[vis].astype(np.float32),
+        "smpl_beta": beta[vis],
+        "root_trans": est_trans[vis].astype(np.float32),
+        "kp_2d": kp24[vis].astype(np.float32),
+        "cam_K": np.tile(K, (int(vis.sum()), 1, 1)).astype(np.float32),
+        "bboxes_dict": {"exist": exist},
+    }}
+    meta = {"cam_K": K, "image_w": 800, "image_h": 600}
+    return {"person_data": {0: gt_person}, "meta": meta}, est, \
+        {"occluded": [int(s0), int(s0 + span)]}
+
+
+def main():
+    args = parse_args()
+    from glamr_tpu.body import get_smpl, smpl_to_body26fk_map
+    from glamr_tpu.cli import eval_dataset, run_dataset
+    from glamr_tpu.data import procedural_amass_data
+    from glamr_tpu.utils import Config
+    from glamr_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    smpl = get_smpl("body26fk", synthetic=True)
+    m = smpl_to_body26fk_map()
+    K = np.array([[800.0, 0, 400], [0, 800, 300], [0, 0, 1]], np.float32)
+
+    # held-out procedural motions (training used seed 1)
+    data, _, _, _ = procedural_amass_data(
+        max(args.num_seqs * 2, 8), min_len=args.seq_len + 8,
+        max_len=args.seq_len + 64, seed=args.data_seed)
+    thetas = [v[:args.seq_len] for v in data.values()
+              if v.shape[0] >= args.seq_len][:args.num_seqs]
+    assert len(thetas) == args.num_seqs, \
+        f"only {len(thetas)} usable sequences"
+
+    workdir = os.path.abspath(args.workdir)
+    if os.path.isdir(workdir):
+        shutil.rmtree(workdir)
+    gt_dir = os.path.join(workdir, "datasets", "3DPW", "processed_v1", "pose")
+    out_dir = os.path.join(workdir, "out")
+    os.makedirs(gt_dir, exist_ok=True)
+    rng = np.random.default_rng(args.data_seed)
+    seq_names, occl_info = [], {}
+    for i, theta in enumerate(thetas):
+        gt_pkl, est, info = build_sequence(theta, rng, args, smpl, m, K)
+        seq = f"synth_{i:02d}"
+        seq_names.append(seq)
+        occl_info[seq] = info
+        with open(os.path.join(gt_dir, f"{seq}.pkl"), "wb") as f:
+            pickle.dump(gt_pkl, f)
+        pe_dir = os.path.join(out_dir, "pose_est", seq)
+        os.makedirs(pe_dir, exist_ok=True)
+        with open(os.path.join(pe_dir, "pose.pkl"), "wb") as f:
+            pickle.dump(est, f)
+
+    cwd = os.getcwd()
+    os.chdir(workdir)  # run_dataset resolves datasets/ relative to cwd
+    try:
+        t0 = time.time()
+        run_dataset.main([
+            "--dataset", "3dpw", "--cfg", args.cfg, "--out_dir", out_dir,
+            "--sequences", ",".join(seq_names), "--seeds", args.seeds,
+        ] + (["--pad_to", str(args.pad_to)] if args.pad_to else []))
+        recon_wall = time.time() - t0
+        acc = eval_dataset.main([
+            "--dataset", "3dpw", "--cfg", args.cfg, "--out_dir", out_dir,
+            "--sequences", ",".join(seq_names), "--seeds", args.seeds,
+        ])
+    finally:
+        os.chdir(cwd)
+
+    metrics = {k: float(np.mean(v.avg)) for k, v in acc["metrics"].items()}
+    n_seeds = len(str(args.seeds).split(","))
+    result = {
+        "cfg": args.cfg,
+        "protocol": "run_dataset -> eval_dataset, full stage budgets, "
+                    "seed aggregation per evaluator (PA-MPJPE-invis: min "
+                    "over seeds; others: mean)",
+        "workload": {
+            "num_seqs": args.num_seqs, "seq_len": args.seq_len,
+            "seeds": args.seeds, "data_seed": args.data_seed,
+            "kp_noise_px": args.kp_noise_px, "pose_noise": args.pose_noise,
+            "depth_noise": args.depth_noise, "occl_frac": args.occl_frac,
+            "occluded_spans": occl_info,
+        },
+        "metrics": metrics,
+        "recon_wall_s": round(recon_wall, 2),
+        "frames_per_sec": round(
+            args.num_seqs * n_seeds * args.seq_len / recon_wall, 1),
+        "reproduce": "python scripts/eval_synthetic_sweep.py --cfg "
+                     f"{args.cfg} --num_seqs {args.num_seqs} --seq_len "
+                     f"{args.seq_len} --seeds {args.seeds}",
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                      for k, v in metrics.items()}, indent=2))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
