@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 
@@ -40,9 +41,41 @@ def build_trajpred_batch(ds, rng, batch_size, smpl):
     }
 
 
+# one-command demo bootstrap: the recorded single-chip recipes that
+# produce every checkpoint run_demo / eval_stage1 need (ROADMAP.md
+# "Reference-scale training on procedural data"). Order: most
+# downstream-critical first, so an interrupted bootstrap still leaves the
+# trajectory predictor (whose absence makes random-init decodes walk off
+# ~10 m) and the stage-1 models behind.
+ALL_DEMO_RECIPES = [
+    ["--model", "traj_pred", "--synthetic_data",
+     "--synthetic_kind", "procedural", "--synthetic_num_seqs", "512",
+     "--epochs", "850", "--steps_per_epoch", "100"],
+    ["--model", "lifter", "--synthetic_data",
+     "--synthetic_kind", "procedural", "--synthetic_num_seqs", "512"],
+    ["--model", "detector", "--synthetic_data",
+     "--synthetic_kind", "procedural"],
+    ["--model", "motion_infiller", "--synthetic_data",
+     "--synthetic_kind", "procedural", "--synthetic_num_seqs", "512",
+     "--epochs", "500", "--steps_per_epoch", "100",
+     "--precision", "bf16"],
+]
+
+
 def main(argv=None):
     from ..utils.cache import enable_compile_cache
     enable_compile_cache()
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--all_demo" in argv:
+        # train all four demo models with the recorded recipes; extra
+        # flags (e.g. --epochs overrides for a quick bootstrap) are
+        # appended to every leg
+        extra = [a for a in argv if a != "--all_demo"]
+        for recipe in ALL_DEMO_RECIPES:
+            print(f"== all_demo leg: {' '.join(recipe)} ==", flush=True)
+            main(recipe + extra)
+        return
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="motion_infiller",
                         choices=["motion_infiller", "traj_pred", "lifter",
