@@ -40,7 +40,8 @@ def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
     from ..body.smpl import get_smpl
     from ..utils.checkpoint import load_checkpoint
     from ..utils.config import Config
-    from ..utils.tools import find_last_version, get_checkpoint_path
+    from ..utils.tools import (find_last_version, get_checkpoint_path,
+                               resolve_results_dir)
 
     specs = mt_cfg.model_specs
     mf_yaml = Config(specs["mfiller_cfg"])
@@ -59,8 +60,9 @@ def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
     tp_params = trajpred.init(rng, jnp.zeros((1, 8, 69)), jnp.zeros((1, 8, 3)), q0)
 
     def latest_cp(yaml_cfg, cp_sel):
-        base = os.path.join(yaml_cfg.get("results_root_dir", "results"),
-                            yaml_cfg.id)
+        base = os.path.join(
+            resolve_results_dir(yaml_cfg.get("results_root_dir", "results")),
+            yaml_cfg.id)
         v = find_last_version(base)
         if v < 0:
             return None

@@ -26,13 +26,16 @@ def load_lifter(cfg_id: str = "kp_lifter_demo", version: str = "last",
     from ..train.trainer import make_tx
     from ..utils import Config
     from ..utils.checkpoint import load_checkpoint
-    from ..utils.tools import find_last_version, get_checkpoint_path
+    from ..utils.tools import (find_last_version, get_checkpoint_path,
+                               resolve_results_dir)
     from .lifter import KeypointLifter, LifterConfig, init_lifter
 
     cfg = Config(cfg_id)
     lcfg = LifterConfig.from_dict(cfg.model_specs)
     model = KeypointLifter(lcfg)
-    base = os.path.join(cfg.get("results_root_dir", "results"), cfg.id)
+    base = os.path.join(
+        resolve_results_dir(cfg.get("results_root_dir", "results")),
+        cfg.id)
     v = find_last_version(base) if version == "last" else int(version)
     cp_path = get_checkpoint_path(
         os.path.join(base, f"version_{v}", "checkpoints"), cp)
@@ -99,13 +102,16 @@ def load_detector(cfg_id: str = "kp_detector_demo", version: str = "last",
     from ..train.trainer import make_tx
     from ..utils import Config
     from ..utils.checkpoint import load_checkpoint
-    from ..utils.tools import find_last_version, get_checkpoint_path
+    from ..utils.tools import (find_last_version, get_checkpoint_path,
+                               resolve_results_dir)
     from .detector import DetectorConfig, PersonKeypointDetector, init_detector
 
     cfg = Config(cfg_id)
     dcfg = DetectorConfig.from_dict(cfg.model_specs)
     model = PersonKeypointDetector(dcfg)
-    base = os.path.join(cfg.get("results_root_dir", "results"), cfg.id)
+    base = os.path.join(
+        resolve_results_dir(cfg.get("results_root_dir", "results")),
+        cfg.id)
     v = find_last_version(base) if version == "last" else int(version)
     cp_path = get_checkpoint_path(
         os.path.join(base, f"version_{v}", "checkpoints"), cp)

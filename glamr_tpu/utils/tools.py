@@ -35,6 +35,22 @@ def find_consecutive_runs(arr) -> list:
     return [[int(arr[s]), int(arr[e])] for s, e in zip(starts, ends)]
 
 
+def resolve_results_dir(root: str) -> str:
+    """Resolve a (possibly relative) results_root_dir for READING
+    checkpoints. Relative roots are tried against the CWD first (the
+    reference runs everything from the repo root, run_demo.py:1-2), then
+    against this package's repo root — so harnesses that chdir into a
+    scratch workdir (e.g. scripts/eval_synthetic_sweep.py, which must run
+    run_dataset against its own datasets/ tree) still find the trained
+    checkpoints. Writers (cli/train.py) stay CWD-relative on purpose."""
+    if os.path.isabs(root) or os.path.isdir(root):
+        return root
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    alt = os.path.join(repo_root, root)
+    return alt if os.path.isdir(alt) else root
+
+
 def find_last_version(base_dir: str) -> int:
     """Largest version_N subdir index, -1 if none (tools.py:41-58)."""
     if not os.path.isdir(base_dir):

@@ -1,5 +1,7 @@
 """Training subsystem tests: AMASS sampler, loss registries, DP train
 steps on the virtual 8-device mesh (loss decreases over a few steps)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -539,3 +541,27 @@ def test_accelerator_usable_probe(monkeypatch):
     monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
     monkeypatch.setattr(cache, "accelerator_reachable", lambda: False)
     assert cache.accelerator_usable(timeout_s=1) is False
+
+
+def test_resolve_results_dir(tmp_path, monkeypatch):
+    """Read-side checkpoint resolution survives a chdir into a scratch
+    workdir (eval_synthetic_sweep chdirs so run_dataset sees its own
+    datasets/ tree): relative roots fall back to the repo root when they
+    don't exist under the CWD (utils/tools.py resolve_results_dir)."""
+    import glamr_tpu
+    from glamr_tpu.utils.tools import resolve_results_dir
+
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(glamr_tpu.__file__)))
+    # absolute roots pass through
+    assert resolve_results_dir("/abs/x") == "/abs/x"
+    # CWD-relative hit wins (writer semantics preserved)
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "results").mkdir()
+    assert resolve_results_dir("results") == "results"
+    # miss in CWD -> repo-root fallback when it exists there
+    if os.path.isdir(os.path.join(repo_root, "glamr_tpu")):
+        got = resolve_results_dir("glamr_tpu")
+        assert got == os.path.join(repo_root, "glamr_tpu")
+    # miss everywhere -> unchanged (caller's find_last_version returns -1)
+    assert resolve_results_dir("no_such_dir_xyz") == "no_such_dir_xyz"
