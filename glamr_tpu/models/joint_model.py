@@ -64,10 +64,14 @@ def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
             resolve_results_dir(yaml_cfg.get("results_root_dir", "results")),
             yaml_cfg.id)
         v = find_last_version(base)
-        if v < 0:
-            return None
-        return get_checkpoint_path(
-            os.path.join(base, f"version_{v}", "checkpoints"), cp_sel)
+        if v >= 0:
+            p = get_checkpoint_path(
+                os.path.join(base, f"version_{v}", "checkpoints"), cp_sel)
+            if p is not None:
+                return p
+        # committed params-only release artifact (glamr-export-params)
+        from ..utils.checkpoint import released_checkpoint_path
+        return released_checkpoint_path(yaml_cfg.id)
 
     for name, params_ref, yaml_cfg, sel in [
         ("mfiller", "mf", mf_yaml, specs.get("mfiller_cp", "best")),
@@ -78,9 +82,8 @@ def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
             if require_checkpoints:
                 raise FileNotFoundError(f"no checkpoint for {name} ({yaml_cfg.id})")
         else:
-            state = load_checkpoint(cp)
-            loaded = state["params"] if isinstance(state, dict) and "params" in state \
-                else getattr(state, "params", state)
+            from ..utils.checkpoint import extract_params
+            loaded = extract_params(load_checkpoint(cp))
             if name == "mfiller":
                 mf_params = loaded
             else:

@@ -21,14 +21,12 @@ def load_lifter(cfg_id: str = "kp_lifter_demo", version: str = "last",
                 cp: str = "best"):
     """Resolve the latest trained lifter checkpoint (same versioned-dir
     convention as the CVAEs, utils/tools.py find_last_version)."""
-    import jax
-
-    from ..train.trainer import make_tx
     from ..utils import Config
-    from ..utils.checkpoint import load_checkpoint
+    from ..utils.checkpoint import (extract_params, load_checkpoint,
+                                    released_checkpoint_path)
     from ..utils.tools import (find_last_version, get_checkpoint_path,
                                resolve_results_dir)
-    from .lifter import KeypointLifter, LifterConfig, init_lifter
+    from .lifter import KeypointLifter, LifterConfig
 
     cfg = Config(cfg_id)
     lcfg = LifterConfig.from_dict(cfg.model_specs)
@@ -38,10 +36,17 @@ def load_lifter(cfg_id: str = "kp_lifter_demo", version: str = "last",
         cfg.id)
     v = find_last_version(base) if version == "last" else int(version)
     cp_path = get_checkpoint_path(
-        os.path.join(base, f"version_{v}", "checkpoints"), cp)
-    state = init_lifter(model, make_tx(1e-3), jax.random.PRNGKey(0))
-    state = load_checkpoint(cp_path, target=jax.device_get(state))
-    return model, state.params, cfg
+        os.path.join(base, f"version_{v}", "checkpoints"), cp) \
+        if v >= 0 else None
+    if cp_path is None:
+        cp_path = released_checkpoint_path(cfg.id)  # committed artifact
+    if cp_path is None:
+        raise FileNotFoundError(
+            f"no trained lifter checkpoint for {cfg.id}: train one "
+            "(glamr-train --model lifter or --all_demo) or ship "
+            f"checkpoints/{cfg.id}.params.pkl (glamr-export-params)")
+    params = extract_params(load_checkpoint(cp_path))
+    return model, params, cfg
 
 
 def lifter_pose_est(kp_2d: np.ndarray, cam_K: np.ndarray,
@@ -97,14 +102,12 @@ def load_detector(cfg_id: str = "kp_detector_demo", version: str = "last",
                   cp: str = "best"):
     """Resolve the latest trained detector checkpoint (same versioned-dir
     convention as the CVAEs and the lifter)."""
-    import jax
-
-    from ..train.trainer import make_tx
     from ..utils import Config
-    from ..utils.checkpoint import load_checkpoint
+    from ..utils.checkpoint import (extract_params, load_checkpoint,
+                                    released_checkpoint_path)
     from ..utils.tools import (find_last_version, get_checkpoint_path,
                                resolve_results_dir)
-    from .detector import DetectorConfig, PersonKeypointDetector, init_detector
+    from .detector import DetectorConfig, PersonKeypointDetector
 
     cfg = Config(cfg_id)
     dcfg = DetectorConfig.from_dict(cfg.model_specs)
@@ -114,10 +117,17 @@ def load_detector(cfg_id: str = "kp_detector_demo", version: str = "last",
         cfg.id)
     v = find_last_version(base) if version == "last" else int(version)
     cp_path = get_checkpoint_path(
-        os.path.join(base, f"version_{v}", "checkpoints"), cp)
-    state = init_detector(model, make_tx(1e-3), jax.random.PRNGKey(0))
-    state = load_checkpoint(cp_path, target=jax.device_get(state))
-    return model, state.params, cfg
+        os.path.join(base, f"version_{v}", "checkpoints"), cp) \
+        if v >= 0 else None
+    if cp_path is None:
+        cp_path = released_checkpoint_path(cfg.id)  # committed artifact
+    if cp_path is None:
+        raise FileNotFoundError(
+            f"no trained detector checkpoint for {cfg.id}: train one "
+            "(glamr-train --model detector or --all_demo) or ship "
+            f"checkpoints/{cfg.id}.params.pkl (glamr-export-params)")
+    params = extract_params(load_checkpoint(cp_path))
+    return model, params, cfg
 
 
 def detect_video(frames: np.ndarray, model, params,

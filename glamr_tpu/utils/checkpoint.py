@@ -70,3 +70,36 @@ def port_linear(sd: dict, prefix: str) -> dict:
 
 def port_layernorm(sd: dict, prefix: str) -> dict:
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def extract_params(obj: Any) -> Any:
+    """Model params from whatever a checkpoint holds: a full TrainState
+    (pickled flax struct), an orbax nested dict, or a params-only release
+    artifact ({'format': 'glamr_tpu.params.v1', 'params': ...}). Release
+    artifacts store float16 (half-size committed files) and are cast back
+    to float32 here."""
+    if isinstance(obj, dict) and "params" in obj:
+        params = obj["params"]
+        if str(obj.get("format", "")).startswith("glamr_tpu.params"):
+            def f32(tree):
+                if isinstance(tree, dict):
+                    return {k: f32(v) for k, v in tree.items()}
+                a = np.asarray(tree)
+                return a.astype(np.float32) if a.dtype.kind == "f" else a
+            params = f32(params)
+        return params
+    if hasattr(obj, "params"):
+        return obj.params
+    return obj
+
+
+def released_checkpoint_path(cfg_id: str) -> Optional[str]:
+    """Committed pretrained artifact for a model config: checkpoints/
+    <cfg_id>.params.pkl at the repo root (the reference ships pretrained
+    checkpoints as a first-class artifact, README.md:58-64; here they are
+    small params-only pickles written by `glamr-export-params`, the
+    fallback when no trained results/ version exists)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    p = os.path.join(repo_root, "checkpoints", f"{cfg_id}.params.pkl")
+    return p if os.path.isfile(p) else None

@@ -164,3 +164,45 @@ class TestPortCLI:
                                  require_checkpoints=True)
         finally:
             os.chdir(old_cwd)
+
+
+def test_export_params_release_roundtrip(tmp_path, monkeypatch):
+    """glamr-export-params: trained results/ version -> committed
+    params-only float16 artifact -> extract_params restores float32
+    (cli/export_params.py; loaders fall back to checkpoints/<cfg>.params.pkl
+    via utils/checkpoint.released_checkpoint_path)."""
+    import pickle
+
+    import numpy as np
+
+    from glamr_tpu.cli.export_params import export_one
+    from glamr_tpu.utils.checkpoint import extract_params
+
+    params = {"dense": {"kernel": np.random.default_rng(0)
+                        .standard_normal((4, 3)).astype(np.float32),
+                        "bias": np.zeros(3, np.float32)},
+              "steps": np.array(7, np.int32)}
+    cp_dir = tmp_path / "results" / "traj_pred" / "traj_pred_demo" / \
+        "version_0" / "checkpoints"
+    cp_dir.mkdir(parents=True)
+    with open(cp_dir / "best.pkl", "wb") as f:
+        pickle.dump({"params": params, "opt_state": None}, f)
+
+    monkeypatch.chdir(tmp_path)  # CWD-relative results/ wins
+    out = export_one("traj_pred_demo", str(tmp_path / "checkpoints"))
+    assert out and out.endswith("traj_pred_demo.params.pkl")
+
+    with open(out, "rb") as f:
+        art = pickle.load(f)
+    assert art["format"] == "glamr_tpu.params.v1"
+    assert art["params"]["dense"]["kernel"].dtype == np.float16
+    assert art["params"]["steps"].dtype == np.int32  # ints untouched
+
+    restored = extract_params(art)
+    assert restored["dense"]["kernel"].dtype == np.float32
+    np.testing.assert_allclose(restored["dense"]["kernel"],
+                               params["dense"]["kernel"], atol=1e-3)
+    # full TrainState-style dict still extracts exact params
+    exact = extract_params({"params": params, "opt_state": None})
+    np.testing.assert_array_equal(exact["dense"]["kernel"],
+                                  params["dense"]["kernel"])
