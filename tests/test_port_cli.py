@@ -150,20 +150,25 @@ class TestPortCLI:
         err = np.abs(my_out - ref_out).max()
         assert err < 2e-4, f"round-tripped infiller mismatch: {err}"
 
-    def test_require_checkpoints_raises_without_tree(self, tmp_path):
+    def test_require_checkpoints_raises_without_tree(self, tmp_path,
+                                                     monkeypatch):
         from glamr_tpu.body import get_smpl
         from glamr_tpu.models import load_joint_model
         from glamr_tpu.utils import Config
 
-        old_cwd = os.getcwd()
-        os.chdir(tmp_path)
-        try:
-            with pytest.raises(FileNotFoundError):
-                load_joint_model(Config("joint_motion_traj_demo"),
-                                 smpl=get_smpl("body26fk", synthetic=True),
-                                 require_checkpoints=True)
-        finally:
-            os.chdir(old_cwd)
+        # defeat BOTH discovery fallbacks (repo-root results/ and the
+        # committed checkpoints/ release artifacts) so the no-trained-
+        # checkpoint path is actually exercised
+        monkeypatch.setattr("glamr_tpu.utils.tools.resolve_results_dir",
+                            lambda root: str(tmp_path / root))
+        monkeypatch.setattr(
+            "glamr_tpu.utils.checkpoint.released_checkpoint_path",
+            lambda cfg_id: None)
+        monkeypatch.chdir(tmp_path)
+        with pytest.raises(FileNotFoundError):
+            load_joint_model(Config("joint_motion_traj_demo"),
+                             smpl=get_smpl("body26fk", synthetic=True),
+                             require_checkpoints=True)
 
 
 def test_export_params_release_roundtrip(tmp_path, monkeypatch):
