@@ -27,22 +27,13 @@ def export_one(cfg_id: str, out_dir: str, cp: str = "best") -> str | None:
 
     from ..utils import Config
     from ..utils.checkpoint import extract_params, load_checkpoint
-    from ..utils.tools import (find_last_version, get_checkpoint_path,
+    from ..utils.tools import (find_checkpoint_across_versions,
                                resolve_results_dir)
 
     cfg = Config(cfg_id)
     base = os.path.join(
         resolve_results_dir(cfg.get("results_root_dir", "results")), cfg.id)
-    v = find_last_version(base)
-    if v < 0:
-        return None
-    # walk versions newest-first: interrupted runs may have an empty
-    # checkpoints dir in the latest version
-    cp_path = None
-    while v >= 0 and cp_path is None:
-        cp_path = get_checkpoint_path(
-            os.path.join(base, f"version_{v}", "checkpoints"), cp)
-        v -= 1
+    cp_path = find_checkpoint_across_versions(base, cp)
     if cp_path is None:
         return None
     params = extract_params(load_checkpoint(cp_path))

@@ -40,8 +40,7 @@ def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
     from ..body.smpl import get_smpl
     from ..utils.checkpoint import load_checkpoint
     from ..utils.config import Config
-    from ..utils.tools import (find_last_version, get_checkpoint_path,
-                               resolve_results_dir)
+    from ..utils.tools import resolve_results_dir
 
     specs = mt_cfg.model_specs
     mf_yaml = Config(specs["mfiller_cfg"])
@@ -60,15 +59,14 @@ def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
     tp_params = trajpred.init(rng, jnp.zeros((1, 8, 69)), jnp.zeros((1, 8, 3)), q0)
 
     def latest_cp(yaml_cfg, cp_sel):
+        from ..utils.tools import find_checkpoint_across_versions
+
         base = os.path.join(
             resolve_results_dir(yaml_cfg.get("results_root_dir", "results")),
             yaml_cfg.id)
-        v = find_last_version(base)
-        if v >= 0:
-            p = get_checkpoint_path(
-                os.path.join(base, f"version_{v}", "checkpoints"), cp_sel)
-            if p is not None:
-                return p
+        p = find_checkpoint_across_versions(base, cp_sel)
+        if p is not None:
+            return p
         # committed params-only release artifact (glamr-export-params)
         from ..utils.checkpoint import released_checkpoint_path
         return released_checkpoint_path(yaml_cfg.id)

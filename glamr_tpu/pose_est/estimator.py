@@ -24,8 +24,8 @@ def load_lifter(cfg_id: str = "kp_lifter_demo", version: str = "last",
     from ..utils import Config
     from ..utils.checkpoint import (extract_params, load_checkpoint,
                                     released_checkpoint_path)
-    from ..utils.tools import (find_last_version, get_checkpoint_path,
-                               resolve_results_dir)
+    from ..utils.tools import (find_checkpoint_across_versions,
+                               get_checkpoint_path, resolve_results_dir)
     from .lifter import KeypointLifter, LifterConfig
 
     cfg = Config(cfg_id)
@@ -34,10 +34,11 @@ def load_lifter(cfg_id: str = "kp_lifter_demo", version: str = "last",
     base = os.path.join(
         resolve_results_dir(cfg.get("results_root_dir", "results")),
         cfg.id)
-    v = find_last_version(base) if version == "last" else int(version)
-    cp_path = get_checkpoint_path(
-        os.path.join(base, f"version_{v}", "checkpoints"), cp) \
-        if v >= 0 else None
+    if version == "last":
+        cp_path = find_checkpoint_across_versions(base, cp)
+    else:
+        cp_path = get_checkpoint_path(
+            os.path.join(base, f"version_{int(version)}", "checkpoints"), cp)
     if cp_path is None:
         cp_path = released_checkpoint_path(cfg.id)  # committed artifact
     if cp_path is None:
@@ -105,8 +106,8 @@ def load_detector(cfg_id: str = "kp_detector_demo", version: str = "last",
     from ..utils import Config
     from ..utils.checkpoint import (extract_params, load_checkpoint,
                                     released_checkpoint_path)
-    from ..utils.tools import (find_last_version, get_checkpoint_path,
-                               resolve_results_dir)
+    from ..utils.tools import (find_checkpoint_across_versions,
+                               get_checkpoint_path, resolve_results_dir)
     from .detector import DetectorConfig, PersonKeypointDetector
 
     cfg = Config(cfg_id)
@@ -115,10 +116,11 @@ def load_detector(cfg_id: str = "kp_detector_demo", version: str = "last",
     base = os.path.join(
         resolve_results_dir(cfg.get("results_root_dir", "results")),
         cfg.id)
-    v = find_last_version(base) if version == "last" else int(version)
-    cp_path = get_checkpoint_path(
-        os.path.join(base, f"version_{v}", "checkpoints"), cp) \
-        if v >= 0 else None
+    if version == "last":
+        cp_path = find_checkpoint_across_versions(base, cp)
+    else:
+        cp_path = get_checkpoint_path(
+            os.path.join(base, f"version_{int(version)}", "checkpoints"), cp)
     if cp_path is None:
         cp_path = released_checkpoint_path(cfg.id)  # committed artifact
     if cp_path is None:

@@ -88,3 +88,21 @@ def get_checkpoint_path(cp_dir: str, cp: str = "last") -> Optional[str]:
         return os.path.join(cp_dir, entries[-1])
     hits = [e for e in entries if str(cp) in e]
     return os.path.join(cp_dir, hits[-1]) if hits else None
+
+
+def find_checkpoint_across_versions(base_dir: str,
+                                    cp: str = "best") -> Optional[str]:
+    """Latest version_N that actually HAS a checkpoint, newest-first.
+
+    A results tree can legitimately contain checkpoint-less versions
+    (interrupted runs, committed log-only artifacts); resolving only the
+    largest version_N then silently falls through to random init. Walk
+    back until a version with a resolvable checkpoint is found."""
+    v = find_last_version(base_dir)
+    while v >= 0:
+        p = get_checkpoint_path(
+            os.path.join(base_dir, f"version_{v}", "checkpoints"), cp)
+        if p is not None:
+            return p
+        v -= 1
+    return None

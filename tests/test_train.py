@@ -565,3 +565,20 @@ def test_resolve_results_dir(tmp_path, monkeypatch):
         assert got == os.path.join(repo_root, "glamr_tpu")
     # miss everywhere -> unchanged (caller's find_last_version returns -1)
     assert resolve_results_dir("no_such_dir_xyz") == "no_such_dir_xyz"
+
+
+def test_find_checkpoint_across_versions_skips_empty(tmp_path):
+    """Checkpoint discovery walks past checkpoint-less versions (interrupted
+    runs / committed log-only results trees) instead of falling through to
+    random init when only version_N is inspected."""
+    from glamr_tpu.utils.tools import find_checkpoint_across_versions
+
+    base = tmp_path / "model"
+    (base / "version_0" / "checkpoints").mkdir(parents=True)
+    cp = base / "version_0" / "checkpoints" / "best.pkl"
+    cp.write_bytes(b"x")
+    (base / "version_1").mkdir()                       # log-only
+    (base / "version_2" / "checkpoints").mkdir(parents=True)  # empty dir
+
+    assert find_checkpoint_across_versions(str(base), "best") == str(cp)
+    assert find_checkpoint_across_versions(str(tmp_path / "nope")) is None
