@@ -350,13 +350,14 @@ def main(argv=None):
                                    pool_n)
         log.info(f"rendered {pool_n}-image detector pool "
                  f"in {time.time() - t0:.0f}s")
-        sample, _ = make_detector_pool_sampler(
+        sample, dev_pool, _ = make_detector_pool_sampler(
             pool, batch_size, mesh=mesh if ndev > 1 else None)
         core = detector_step_core(model, tx, cfg.loss_cfg,
                                   compute_dtype=cdtype,
                                   remat=args.remat)
         epoch_fn = make_fused_epoch(core, sample, steps,
-                                    mesh=mesh if ndev > 1 else None)
+                                    mesh=mesh if ndev > 1 else None,
+                                    data=dev_pool)
         log.info("using pooled device-resident detector epochs "
                  f"({steps} steps/dispatch, {ndev} devices); "
                  "val renders fresh scenes each epoch")

@@ -237,7 +237,8 @@ def make_multistep(step_fn_core, K: int):
     return jax.jit(multi, donate_argnums=0)
 
 
-def make_fused_epoch(step_core, sample_fn, K: int, mesh=None, axis="dp"):
+def make_fused_epoch(step_core, sample_fn, K: int, mesh=None, axis="dp",
+                     data=None):
     """Fuse K x (on-device batch draw -> train step) into ONE jitted
     lax.scan — a single dispatch per K steps. With per-step dispatch the
     wall-clock is dominated by host round-trips (measured on a tunneled
@@ -259,16 +260,25 @@ def make_fused_epoch(step_core, sample_fn, K: int, mesh=None, axis="dp"):
     axis may be a tuple for multi-axis data sharding (e.g. ('dp','fsdp')
     with a state sharded by parallel/shard.py: pass that state in and the
     epoch runs FSDP — state shardings follow the input layout).
+
+    data: optional device-resident pytree threaded through the jit as an
+    EXPLICIT argument; sample_fn is then called as sample_fn(data, key).
+    A sampler that merely closes over large device arrays bakes them into
+    the traced program as HLO literals — a ~200 MB detector pool then
+    inflates the serialized compile payload past what a remote-compile
+    relay accepts (observed: HTTP 413 on the tunneled v5e). As a jit
+    parameter the pool stays a runtime input: zero transfer (it already
+    lives in HBM) and a compile request that is just the program.
     """
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         bsh = NamedSharding(mesh, P(axis))
 
-    def epoch(state, rng):
+    def epoch(state, rng, data):
         def body(carry, _):
             st, r = carry
             r, kb, ks = jax.random.split(r, 3)
-            batch = sample_fn(kb)
+            batch = sample_fn(data, kb) if data is not None else sample_fn(kb)
             if mesh is not None:
                 batch = jax.tree.map(
                     lambda x: jax.lax.with_sharding_constraint(x, bsh), batch)
@@ -278,7 +288,10 @@ def make_fused_epoch(step_core, sample_fn, K: int, mesh=None, axis="dp"):
         (state, _), metrics = jax.lax.scan(body, (state, rng), None, length=K)
         return state, metrics
 
-    return jax.jit(epoch, donate_argnums=0)
+    jitted = jax.jit(epoch, donate_argnums=0, static_argnames=())
+    if data is None:
+        return lambda state, rng: jitted(state, rng, None)
+    return lambda state, rng: jitted(state, rng, data)
 
 
 def infiller_step_core(model: MotionInfillerVAE, tx, loss_cfg: dict,
@@ -454,7 +467,10 @@ def make_detector_pool_sampler(pool: dict, batch_size: int,
     photometric augmentation (brightness/offset jitter + pixel noise) —
     all inside the fused-epoch scan, zero per-step host traffic.
 
-    Returns (sample_fn, num_images); sample_fn is jit-composable.
+    Returns (sample_fn, dev_pool, num_images); sample_fn has signature
+    (dev_pool, key) -> batch and must receive the pool as an explicit
+    argument (pass dev_pool as make_fused_epoch's `data`): the pool is
+    far too large to ride the compile payload as a closure constant.
     """
     # store each entry ROW-FLATTENED: a gather over [N, prod(shape)] rows
     # tiles the lane dim cleanly (e.g. 32*32*24 = 192*128), while the
@@ -475,11 +491,11 @@ def make_detector_pool_sampler(pool: dict, batch_size: int,
         dev = {k: jnp.asarray(v) for k, v in flat.items()}
     n = int(dev["images"].shape[0])
 
-    def sample(key):
+    def sample(dev_pool, key):
         ki, kb, ko, kn = jax.random.split(key, 4)
         idx = jax.random.randint(ki, (batch_size,), 0, n)
         b = {k: v[idx].reshape((batch_size,) + shapes[k])
-             for k, v in dev.items()}
+             for k, v in dev_pool.items()}
         img = b["images"].astype(jnp.float32) / 255.0
         bright = jax.random.uniform(kb, (batch_size, 1, 1, 1),
                                     minval=0.75, maxval=1.25)
@@ -492,7 +508,7 @@ def make_detector_pool_sampler(pool: dict, batch_size: int,
         b["gt_kp_hm"] = b["gt_kp_hm"].astype(jnp.float32) / 255.0
         return b
 
-    return sample, n
+    return sample, dev, n
 
 
 def make_detector_eval_step(model, loss_cfg: dict,

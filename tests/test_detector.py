@@ -286,9 +286,9 @@ def test_detector_pool_fused_epoch(datagen, tiny_cfg):
     assert pool["images"].shape[0] == 8
     assert pool["gt_kp_hm"].dtype == np.uint8
 
-    sample, n = make_detector_pool_sampler(pool, batch_size=4)
+    sample, dev_pool, n = make_detector_pool_sampler(pool, batch_size=4)
     assert n == 8
-    b = jax.jit(sample)(jax.random.PRNGKey(0))
+    b = jax.jit(sample)(dev_pool, jax.random.PRNGKey(0))
     assert b["images"].shape == (4, tiny_cfg.img_size, tiny_cfg.img_size, 3)
     assert b["images"].dtype.name == "float32"
     assert float(b["gt_center_hm"].max()) <= 1.0
@@ -297,7 +297,7 @@ def test_detector_pool_fused_epoch(datagen, tiny_cfg):
     tx = make_tx(2e-3)
     state = init_detector(model, tx, jax.random.PRNGKey(0))
     core = detector_step_core(model, tx, DEFAULT_DETECTOR_LOSS_CFG)
-    epoch = make_fused_epoch(core, sample, K=20)
+    epoch = make_fused_epoch(core, sample, K=20, data=dev_pool)
     state, metrics = epoch(state, jax.random.PRNGKey(1))
     losses = np.asarray(metrics["loss"])
     assert losses.shape == (20,)
