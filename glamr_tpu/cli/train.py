@@ -327,13 +327,16 @@ def main(argv=None):
             core = trajpred_device_step_core(model, tx, cfg.loss_cfg, smpl,
                                              compute_dtype=cdtype,
                                              remat=args.remat)
-        def sample(key, _keys=dev_keys, _mask=mask_spec):
-            b = dsd.sample_batch(key, batch_size, seq_len, _mask)
+        def sample(data, key, _keys=dev_keys, _mask=mask_spec):
+            b = DeviceSampler.sample_from(data, key, batch_size, seq_len,
+                                          _mask)
             return {k: b[k] for k in _keys}
         # the WHOLE epoch — K x (device batch draw -> train step) — is one
-        # lax.scan program: one dispatch per epoch instead of two per step
+        # lax.scan program: one dispatch per epoch instead of two per step;
+        # the dataset rides as a jit argument, not a baked-in constant
         epoch_fn = make_fused_epoch(core, sample, steps,
-                                    mesh=mesh if ndev > 1 else None)
+                                    mesh=mesh if ndev > 1 else None,
+                                    data=dsd.data_tree())
         log.info("using fused device-resident epochs "
                  f"({steps} steps/dispatch, {ndev} devices)")
     elif args.device_data and args.model == "detector":

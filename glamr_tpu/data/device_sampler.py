@@ -59,6 +59,24 @@ class DeviceSampler:
                              self.logp, rng, batch_size, seq_len,
                              _mask_tuple(mask_spec))
 
+    def data_tree(self) -> dict:
+        """The device-resident dataset as a pytree, for threading through
+        an enclosing jit as an EXPLICIT argument (make_fused_epoch `data`):
+        a sampler closure that captures these arrays bakes them into the
+        outer program as HLO literals, inflating the serialized compile
+        payload by the dataset size (a remote-compile relay then rejects
+        large datasets outright — observed HTTP 413 with a ~200 MB pool)."""
+        return {"theta": self.theta, "offsets": self.offsets,
+                "lengths": self.lengths, "logp": self.logp}
+
+    @staticmethod
+    def sample_from(data: dict, rng: jax.Array, batch_size: int,
+                    seq_len: int, mask_spec: Optional[dict] = None) -> dict:
+        """Pure-function form of sample_batch over a data_tree() pytree."""
+        return _sample_batch(data["theta"], data["offsets"],
+                             data["lengths"], data["logp"], rng,
+                             batch_size, seq_len, _mask_tuple(mask_spec))
+
 
 def _mask_tuple(mask_spec):
     if not mask_spec:
