@@ -43,6 +43,10 @@ class SMPLModel:
     j_regressor_extra: jax.Array   # (9, V)
     j_regressor_h36m: jax.Array    # (17, V)
     faces: np.ndarray = field(metadata=dict(static=True))          # (F, 3) int
+    # True for the procedural stand-in model (no real SMPL asset on disk);
+    # consumers that need a human-looking SILHOUETTE (detector training
+    # renders) switch to the capsule body when this is set.
+    synthetic: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def num_verts(self) -> int:
@@ -230,4 +234,5 @@ def synthetic_smpl_model(num_verts: int = 1728, seed: int = 7) -> SMPLModel:
         j_regressor_extra=jnp.asarray(jre),
         j_regressor_h36m=jnp.asarray(jrh),
         faces=faces,
+        synthetic=True,
     )

@@ -17,35 +17,205 @@ from .detector import DetectorConfig, splat_gaussian
 from .synth import lookat_cam
 
 
-def render_mesh_image(verts_list, faces, cam_R, cam_c, K, size,
-                      rng: np.random.Generator):
-    """Z-buffer render of one or more meshes over a random background
-    (shared fragment rasterizer, vis/renderer.py mesh_fragments — one
-    code path with the product visualizer, pixel-exact depth between
-    persons). At detector scale (128 px) this costs about the same as
-    the old per-triangle painter loop; training throughput comes from
-    build_detector_pool + device-resident fused epochs, not from the
-    renderer. verts_list: list of (V, 3) world-frame vertex arrays.
-    Returns (size, size, 3) float32 in [0, 1].
+# SMPL kinematic-tree part groups (joint index -> part id). Used to give
+# synthetic bodies clothing-like per-part colors so the detector cannot
+# key on "uniform-color blob" — the round-2 flat-color renders produced a
+# detector that scored ~0.03 on real footage (textured people).
+_PART_OF_JOINT = np.array([
+    1,          # 0 pelvis        -> torso
+    4, 5,       # 1/2 hips        -> L/R leg
+    1,          # 3 spine1        -> torso
+    4, 5,       # 4/5 knees       -> L/R leg
+    1,          # 6 spine2        -> torso
+    4, 5,       # 7/8 ankles      -> L/R leg
+    1,          # 9 spine3        -> torso
+    4, 5,       # 10/11 feet      -> L/R leg
+    0,          # 12 neck         -> head
+    1, 1,       # 13/14 collars   -> torso
+    0,          # 15 head         -> head
+    2, 3,       # 16/17 shoulders -> L/R arm
+    2, 3,       # 18/19 elbows    -> L/R arm
+    2, 3,       # 20/21 wrists    -> L/R arm
+    2, 3,       # 22/23 hands     -> L/R arm
+], np.int32)
+_NUM_PARTS = 6
+
+
+def part_palette(rng: np.random.Generator) -> np.ndarray:
+    """(_NUM_PARTS, 3) clothing-like part colors in 0-255: skin for the
+    head, one color for torso+arms ("shirt"), one for legs ("pants"),
+    with per-limb jitter so limbs still separate visually."""
+    skin = np.array([0.8, 0.6, 0.5]) * rng.uniform(0.5, 1.25)
+    shirt = rng.uniform(0.1, 0.95, 3)
+    pants = rng.uniform(0.1, 0.95, 3)
+    cols = np.zeros((_NUM_PARTS, 3))
+    cols[0] = skin                                   # head
+    cols[1] = shirt                                  # torso
+    cols[2] = np.clip(shirt + rng.normal(0, 0.06, 3), 0, 1)  # L arm
+    cols[3] = np.clip(shirt + rng.normal(0, 0.06, 3), 0, 1)  # R arm
+    cols[4] = np.clip(pants + rng.normal(0, 0.06, 3), 0, 1)  # L leg
+    cols[5] = np.clip(pants + rng.normal(0, 0.06, 3), 0, 1)  # R leg
+    if rng.uniform() < 0.2:                          # plain single color
+        cols[:] = rng.uniform(0.15, 0.95, 3)
+    return np.clip(cols, 0, 1) * 255.0
+
+
+def face_part_colors(lbs_weights: np.ndarray, faces: np.ndarray,
+                     rng: np.random.Generator) -> np.ndarray:
+    """(F, 3) clothing-like per-face colors from skinning weights.
+
+    Vertices are assigned to the part of their max-weight joint; a face
+    takes its first vertex's part.
+    """
+    J = lbs_weights.shape[1]
+    part_of_joint = _PART_OF_JOINT[:J] if J <= 24 else np.concatenate(
+        [_PART_OF_JOINT, np.full(J - 24, 1, np.int32)])
+    vert_part = part_of_joint[np.argmax(lbs_weights, axis=1)]     # (V,)
+    face_part = vert_part[faces[:, 0]]                            # (F,)
+    return part_palette(rng)[face_part]
+
+
+# (child_joint, radius_m) for each bone of the capsule body; the bone runs
+# parent(child) -> child in the SMPL kinematic tree.
+_CAPSULE_RADIUS = {
+    1: 0.09, 2: 0.09,        # pelvis -> hips (fills the hip girdle)
+    3: 0.11, 6: 0.12, 9: 0.12,   # spine column (torso girth)
+    4: 0.07, 5: 0.07,        # hip -> knee
+    7: 0.055, 8: 0.055,      # knee -> ankle
+    10: 0.04, 11: 0.04,      # ankle -> foot
+    12: 0.05,                # spine3 -> neck
+    13: 0.055, 14: 0.055,    # neck -> collars
+    15: 0.085,               # neck -> head (extended: skull)
+    16: 0.055, 17: 0.055,    # collar -> shoulder
+    18: 0.045, 19: 0.045,    # shoulder -> elbow
+    20: 0.04, 21: 0.04,      # elbow -> wrist
+    22: 0.035, 23: 0.035,    # wrist -> hand
+}
+
+
+def capsule_body_mesh(joints: np.ndarray, parents: np.ndarray,
+                      radius_scale: float = 1.0, nseg: int = 8):
+    """Solid humanoid mesh from 24 posed joints: one closed tube per bone.
+
+    The procedural stand-in SMPL model's placeholder triangulation renders
+    as spiky noise, nothing like a human SILHOUETTE — a detector trained
+    on it scores ~0.03 on real footage. Capsules around the posed skeleton
+    give real-shaped silhouettes from joints alone (no SMPL asset needed).
+
+    Returns (verts (V, 3), faces (F, 3), face_part (F,) int).
+    """
+    all_v, all_f, all_p = [], [], []
+    base = 0
+    ang = np.linspace(0, 2 * np.pi, nseg, endpoint=False)
+    unit_ring = np.stack([np.cos(ang), np.sin(ang)], axis=1)   # (n, 2)
+    for child, r in _CAPSULE_RADIUS.items():
+        p = joints[parents[child]].astype(np.float64)
+        q = joints[child].astype(np.float64)
+        if child == 15:  # extend past the head joint to cover the skull
+            q = q + (q - p) * 1.4
+        axis = q - p
+        ln = np.linalg.norm(axis)
+        if ln < 1e-6:
+            continue
+        axis /= ln
+        # orthonormal frame around the bone
+        ref = np.array([1.0, 0.0, 0.0]) if abs(axis[0]) < 0.9 \
+            else np.array([0.0, 1.0, 0.0])
+        u = np.cross(axis, ref); u /= np.linalg.norm(u)
+        w = np.cross(axis, u)
+        rr = r * radius_scale
+        ring = unit_ring[:, :1] * u[None] * rr + unit_ring[:, 1:] * w[None] * rr
+        # slightly overlap the parent joint so adjacent bones fuse
+        v = np.concatenate([
+            (p - 0.3 * rr * axis)[None] + ring,   # ring at parent end
+            (q + 0.3 * rr * axis)[None] + ring,   # ring at child end
+            (p - 0.8 * rr * axis)[None],          # parent cap apex
+            (q + 0.8 * rr * axis)[None],          # child cap apex
+        ])
+        f = []
+        for i in range(nseg):
+            j = (i + 1) % nseg
+            f.append([i, j, nseg + i])            # side quad, tri 1
+            f.append([j, nseg + j, nseg + i])     # side quad, tri 2
+            f.append([j, i, 2 * nseg])            # parent cap fan
+            f.append([nseg + i, nseg + j, 2 * nseg + 1])  # child cap fan
+        all_v.append(v.astype(np.float32))
+        all_f.append(np.asarray(f, np.int32) + base)
+        all_p.append(np.full(len(f), _PART_OF_JOINT[child], np.int32))
+        base += len(v)
+    return (np.concatenate(all_v), np.concatenate(all_f),
+            np.concatenate(all_p))
+
+
+def person_mesh(smpl, verts: np.ndarray, joints: np.ndarray,
+                rng: np.random.Generator):
+    """One person's render mesh (verts, faces, colors (F, 3) 0-255): the
+    real SMPL surface when a real model is loaded, else a capsule body
+    posed by the FK joints."""
+    if getattr(smpl.model, "synthetic", False):
+        cverts, cfaces, cpart = capsule_body_mesh(
+            joints, np.asarray(smpl.model.parents),
+            radius_scale=float(rng.uniform(0.8, 1.25)))
+        return cverts, cfaces, part_palette(rng)[cpart]
+    faces = np.asarray(smpl.faces)
+    cols = face_part_colors(np.asarray(smpl.model.lbs_weights), faces, rng)
+    return verts, faces, cols
+
+
+def random_background(size: int, rng: np.random.Generator) -> np.ndarray:
+    """Cluttered procedural background, (size, size, 3) float32 [0, 1].
+
+    Layers: base color, optional gradient, multi-scale value noise
+    (upsampled random grids), and random rectangles/ellipses — real
+    scenes are textured and full of person-sized high-contrast shapes,
+    and the detector must learn body SHAPE, not flat-vs-nonflat.
+    """
+    base = rng.uniform(0.1, 0.9, 3)
+    img = np.tile(base.astype(np.float32), (size, size, 1))
+    if rng.uniform() < 0.5:  # gradient at a random orientation
+        g = np.linspace(-0.2, 0.2, size, dtype=np.float32)
+        img = img + (g[:, None, None] if rng.uniform() < 0.5
+                     else g[None, :, None]) * rng.choice([-1.0, 1.0])
+    if rng.uniform() < 0.7:  # value noise: 1-2 octaves of upsampled grids
+        for _ in range(int(rng.integers(1, 3))):
+            gsz = int(rng.integers(3, 17))
+            grid = rng.uniform(-1, 1, (gsz, gsz, 3)).astype(np.float32)
+            amp = rng.uniform(0.05, 0.25)
+            img = img + amp * cv2.resize(grid, (size, size),
+                                         interpolation=cv2.INTER_LINEAR)
+    nshape = int(rng.integers(0, 14))
+    for _ in range(nshape):
+        col = rng.uniform(0, 1, 3).astype(float)
+        x, y = rng.integers(0, size, 2)
+        w, h = rng.integers(size // 16, size // 2, 2)
+        if rng.uniform() < 0.5:
+            cv2.rectangle(img, (int(x), int(y)), (int(x + w), int(y + h)),
+                          col.tolist(), -1)
+        else:
+            cv2.ellipse(img, (int(x), int(y)), (int(w // 2), int(h // 2)),
+                        float(rng.uniform(0, 180)), 0, 360, col.tolist(), -1)
+    img += rng.normal(0, rng.uniform(0.005, 0.05), img.shape).astype(np.float32)
+    return np.clip(img, 0, 1)
+
+
+def render_meshes(meshes, cam_R, cam_c, K, size, rng: np.random.Generator):
+    """Z-buffer render of colored meshes over a random cluttered background
+    (shared fragment rasterizer, vis/renderer.py mesh_fragments — one code
+    path with the product visualizer, pixel-exact depth between persons).
+
+    meshes: list of (verts (V, 3) world, faces (F, 3), colors (3,) or
+    (F, 3) 0-255). Returns (size, size, 3) float32 in [0, 1].
     """
     from ..vis.renderer import mesh_fragments, resolve_fragments
 
-    # random background: solid color + optional gradient + noise
-    base = rng.uniform(0.1, 0.9, 3)
-    img = np.tile(base.astype(np.float32), (size, size, 1))
-    if rng.uniform() < 0.5:  # vertical gradient
-        g = np.linspace(-0.2, 0.2, size, dtype=np.float32)[:, None, None]
-        img = np.clip(img + g * rng.choice([-1.0, 1.0]), 0, 1)
-    img += rng.normal(0, rng.uniform(0.005, 0.05), img.shape).astype(np.float32)
-    img = np.clip(img, 0, 1)
+    img = random_background(size, rng)
 
     frags = []
-    for verts in verts_list:
-        color = rng.uniform(0.15, 0.95, 3)
+    for verts, faces, color in meshes:
         vc = verts @ cam_R.T + (-cam_R @ cam_c)
         z = vc[:, 2]
         uv = ((vc / np.maximum(z[:, None], 1e-6)) @ K.T)[:, :2]
-        f = mesh_fragments(uv, z, verts, faces, color * 255,
+        f = mesh_fragments(uv, z, verts, faces, color,
                            size, size, cam_R[2])
         if f is not None:
             frags.append(f)
@@ -56,6 +226,63 @@ def render_mesh_image(verts_list, faces, cam_R, cam_c, K, size,
         cover = np.isfinite(zbuf)
         img8[cover] = col[cover]
     return img8.astype(np.float32) / 255.0
+
+
+def render_mesh_image(verts_list, faces, cam_R, cam_c, K, size,
+                      rng: np.random.Generator, lbs_weights=None):
+    """Back-compat wrapper over render_meshes: one shared `faces` for all
+    persons, random flat color per person (or part colors from
+    lbs_weights (V, J))."""
+    meshes = []
+    for verts in verts_list:
+        color = (face_part_colors(lbs_weights, faces, rng)
+                 if lbs_weights is not None
+                 else rng.uniform(0.15, 0.95, 3) * 255)
+        meshes.append((verts, faces, color))
+    return render_meshes(meshes, cam_R, cam_c, K, size, rng)
+
+
+def occlude_and_blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Random foreground occluder shapes + optional blur (in place on a
+    copy). Models real-footage partial occlusion and motion blur."""
+    size = img.shape[0]
+    if rng.uniform() < 0.3:
+        for _ in range(int(rng.integers(1, 4))):
+            col = rng.uniform(0, 1, 3).astype(float)
+            x, y = rng.integers(0, size, 2)
+            w, h = rng.integers(size // 12, size // 3, 2)
+            cv2.rectangle(img, (int(x), int(y)), (int(x + w), int(y + h)),
+                          col.tolist(), -1)
+    if rng.uniform() < 0.3:
+        k = int(rng.choice([3, 5]))
+        img = cv2.GaussianBlur(img, (k, k), 0)
+    return img
+
+
+def letterbox_content(img: np.ndarray, kp: np.ndarray,
+                      rng: np.random.Generator):
+    """Match the inference-time input distribution: detect_video
+    letterboxes real frames to the square input by scaling the long side
+    and zero-filling the rest (estimator.py detect_video) — a 720p video
+    occupies only the top 56% of the 128 px input. With prob 0.6, squash
+    the rendered content to a random aspect and paste at the top-left
+    over black, updating keypoints to match.
+    """
+    if rng.uniform() >= 0.6:
+        return img, kp
+    size = img.shape[0]
+    aspect = float(rng.uniform(0.5, 1.0))
+    out = np.zeros_like(img)
+    kp = kp.copy()
+    if rng.uniform() < 0.8:       # landscape video: content fills top rows
+        nh = max(int(round(size * aspect)), 8)
+        out[:nh] = cv2.resize(img, (size, nh))
+        kp[..., 1] *= nh / size
+    else:                         # portrait: content fills left columns
+        nw = max(int(round(size * aspect)), 8)
+        out[:, :nw] = cv2.resize(img, (nw, size))
+        kp[..., 0] *= nw / size
+    return out, kp
 
 
 class DetectorDataGen:
@@ -77,6 +304,7 @@ class DetectorDataGen:
         self.thetas = list(data.values())
         self._lbs_fn = None
         self._jax = jax
+        self._lbs_weights = np.asarray(self.smpl.model.lbs_weights)
 
     def _verts_joints(self, pose72, beta):
         """(N, 72), (N, 10) -> world verts (N, V, 3), joints (N, 24, 3)
@@ -130,7 +358,7 @@ class DetectorDataGen:
         # camera looking at the group center
         center = joints[:, 0].mean(axis=0)
         az = rng.uniform(0, 2 * np.pi)
-        dist = rng.uniform(3.0, 6.5)
+        dist = rng.uniform(2.5, 9.0)
         height = rng.uniform(0.6, 2.2)
         pos = np.array([center[0] + dist * np.cos(az),
                         center[1] + dist * np.sin(az), height])
@@ -139,8 +367,9 @@ class DetectorDataGen:
         Kmat = np.array([[f, 0, size / 2], [0, f, size / 2], [0, 0, 1]],
                         np.float32)
 
-        img = render_mesh_image(list(verts), self.smpl.faces, R, cpos, Kmat,
-                                size, rng)
+        meshes = [person_mesh(self.smpl, verts[p], joints[p], rng)
+                  for p in range(NP)]
+        img = render_meshes(meshes, R, cpos, Kmat, size, rng)
 
         # project joints -> pixel keypoints + targets
         jc = np.einsum("ij,pnj->pni", R, joints - cpos)
@@ -148,6 +377,11 @@ class DetectorDataGen:
                        )[..., :2]                               # (NP, 24, 2)
         vis = ((jc[..., 2] > 0.05) & (kp[..., 0] >= 0) & (kp[..., 0] < size)
                & (kp[..., 1] >= 0) & (kp[..., 1] < size)).astype(np.float32)
+
+        # image-domain randomization AFTER projecting: occluders + blur in
+        # the content area, then inference-matching letterbox (kp follow)
+        img = occlude_and_blur(img, rng)
+        img, kp = letterbox_content(img, kp, rng)
 
         M = c.max_people
         gt_center_idx = np.zeros((M, 2), np.int32)

@@ -264,6 +264,11 @@ def init_batched(in_dict: dict, pad_to: int = 0, **kwargs) -> BatchedPersons:
     length for loss normalization.
     """
     est = in_dict["est"]
+    if not est:
+        raise ValueError(
+            "in_dict['est'] contains no person tracks — stage 1 (detector/"
+            "tracker or HybrIK bridge) found nobody in the video. Check the "
+            "stage-1 output (pose.pkl) and detector score threshold.")
     any_person = next(iter(est.values()))
     num_fr_real = len(any_person["bboxes_dict"]["exist"])
     num_fr = max(num_fr_real, pad_to)

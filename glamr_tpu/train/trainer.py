@@ -492,7 +492,7 @@ def make_detector_pool_sampler(pool: dict, batch_size: int,
     n = int(dev["images"].shape[0])
 
     def sample(dev_pool, key):
-        ki, kb, ko, kn = jax.random.split(key, 4)
+        ki, kb, ko, kn, kc, kg = jax.random.split(key, 6)
         idx = jax.random.randint(ki, (batch_size,), 0, n)
         b = {k: v[idx].reshape((batch_size,) + shapes[k])
              for k, v in dev_pool.items()}
@@ -501,7 +501,14 @@ def make_detector_pool_sampler(pool: dict, batch_size: int,
                                     minval=0.75, maxval=1.25)
         off = jax.random.uniform(ko, (batch_size, 1, 1, 1),
                                  minval=-0.08, maxval=0.08)
-        img = jnp.clip(img * bright + off, 0.0, 1.0)
+        # per-channel gain (white balance) + contrast about the mean
+        chan = jax.random.uniform(kc, (batch_size, 1, 1, 3),
+                                  minval=0.85, maxval=1.15)
+        contrast = jax.random.uniform(kg, (batch_size, 1, 1, 1),
+                                      minval=0.8, maxval=1.2)
+        mean = img.mean(axis=(1, 2, 3), keepdims=True)
+        img = (img - mean) * contrast + mean
+        img = jnp.clip(img * bright * chan + off, 0.0, 1.0)
         img = img + 0.02 * jax.random.normal(kn, img.shape)
         b["images"] = img
         b["gt_center_hm"] = b["gt_center_hm"].astype(jnp.float32) / 255.0

@@ -71,7 +71,8 @@ def mesh_fragments(uv, z, verts, faces, color, W, H, view_dir):
     """Rasterize one projected mesh into candidate fragments.
 
     uv: (V, 2) pixel coords, z: (V,) camera depths, verts: (V, 3) world
-    (for flat lambert shading against view_dir), color: (3,) 0-255.
+    (for flat lambert shading against view_dir), color: (3,) 0-255, or
+    (F, 3) for per-face colors (part-segmented synthetic bodies).
     Returns (pix_idx, z, rgb) flat arrays of every covered pixel of
     every front-facing triangle, or None when nothing is visible.
     Vectorized over triangles: bboxes are bucketed into power-of-two
@@ -90,7 +91,8 @@ def mesh_fragments(uv, z, verts, faces, color, W, H, view_dir):
     nrm = np.cross(v1 - v0, v2 - v0)
     nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-9
     shade = (0.4 + 0.6 * np.abs(nrm @ view_dir))[keep]
-    rgb = np.clip(color[None, :] * shade[:, None], 0, 255
+    face_col = color[keep] if color.ndim == 2 else color[None, :]
+    rgb = np.clip(face_col * shade[:, None], 0, 255
                   ).astype(np.uint8)                         # (F, 3)
 
     # screen bboxes, clipped to the image
