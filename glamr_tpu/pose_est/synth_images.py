@@ -148,17 +148,20 @@ def capsule_body_mesh(joints: np.ndarray, parents: np.ndarray,
 
 
 def person_mesh(smpl, verts: np.ndarray, joints: np.ndarray,
-                rng: np.random.Generator):
+                rng: np.random.Generator, lbs_weights: np.ndarray = None):
     """One person's render mesh (verts, faces, colors (F, 3) 0-255): the
     real SMPL surface when a real model is loaded, else a capsule body
-    posed by the FK joints."""
+    posed by the FK joints. Pass a host-cached `lbs_weights` to avoid a
+    device->host transfer per rendered person."""
     if getattr(smpl.model, "synthetic", False):
         cverts, cfaces, cpart = capsule_body_mesh(
             joints, np.asarray(smpl.model.parents),
             radius_scale=float(rng.uniform(0.8, 1.25)))
         return cverts, cfaces, part_palette(rng)[cpart]
     faces = np.asarray(smpl.faces)
-    cols = face_part_colors(np.asarray(smpl.model.lbs_weights), faces, rng)
+    if lbs_weights is None:
+        lbs_weights = np.asarray(smpl.model.lbs_weights)
+    cols = face_part_colors(lbs_weights, faces, rng)
     return verts, faces, cols
 
 
@@ -243,8 +246,10 @@ def render_mesh_image(verts_list, faces, cam_R, cam_c, K, size,
 
 
 def occlude_and_blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Random foreground occluder shapes + optional blur (in place on a
-    copy). Models real-footage partial occlusion and motion blur."""
+    """Random foreground occluder shapes + optional blur; the input array
+    is never mutated (a copy is returned even when no-op draws fire).
+    Models real-footage partial occlusion and motion blur."""
+    img = img.copy()
     size = img.shape[0]
     if rng.uniform() < 0.3:
         for _ in range(int(rng.integers(1, 4))):
@@ -260,16 +265,19 @@ def occlude_and_blur(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def letterbox_content(img: np.ndarray, kp: np.ndarray,
-                      rng: np.random.Generator):
+                      rng: np.random.Generator, K: np.ndarray = None):
     """Match the inference-time input distribution: detect_video
     letterboxes real frames to the square input by scaling the long side
     and zero-filling the rest (estimator.py detect_video) — a 720p video
     occupies only the top 56% of the 128 px input. With prob 0.6, squash
     the rendered content to a random aspect and paste at the top-left
-    over black, updating keypoints to match.
+    over black, updating keypoints (and, when given, the intrinsics K)
+    to match the emitted image.
     """
+    if K is not None:
+        K = K.copy()
     if rng.uniform() >= 0.6:
-        return img, kp
+        return img, kp, K
     size = img.shape[0]
     aspect = float(rng.uniform(0.5, 1.0))
     out = np.zeros_like(img)
@@ -278,11 +286,15 @@ def letterbox_content(img: np.ndarray, kp: np.ndarray,
         nh = max(int(round(size * aspect)), 8)
         out[:nh] = cv2.resize(img, (size, nh))
         kp[..., 1] *= nh / size
+        if K is not None:
+            K[1] *= nh / size     # fy, cy follow the row rescale
     else:                         # portrait: content fills left columns
         nw = max(int(round(size * aspect)), 8)
         out[:, :nw] = cv2.resize(img, (nw, size))
         kp[..., 0] *= nw / size
-    return out, kp
+        if K is not None:
+            K[0] *= nw / size     # fx, cx follow the column rescale
+    return out, kp, K
 
 
 class DetectorDataGen:
@@ -337,7 +349,10 @@ class DetectorDataGen:
         c = self.cfg
         size, hm, s = c.img_size, c.hm_size, c.out_stride
         K = c.num_kp
-        NP = int(rng.integers(1, c.max_people))  # 1..max_people-1 persons
+        # 1..max_people-1 persons; 10% person-free scenes so the detector
+        # learns to stay silent on pure background (clutter/curtain folds
+        # otherwise score as "most person-like thing in frame")
+        NP = 0 if rng.uniform() < 0.1 else int(rng.integers(1, c.max_people))
 
         # draw NP random frames (padded LBS batch keeps one compiled shape)
         pose = np.zeros((c.max_people, 72), np.float32)
@@ -349,25 +364,30 @@ class DetectorDataGen:
             beta[i] = fr[75:85]
         verts, joints = self._verts_joints(pose, beta)
 
-        # world placement: persons spread around the origin
+        # world placement: persons spread around the origin — wide enough
+        # that far-apart people land near the frame edges (the basketball
+        # demo's standing coach is ~5 m from the dribbler)
         offsets = np.zeros((NP, 3), np.float32)
-        offsets[:, :2] = rng.uniform(-1.2, 1.2, (NP, 2))
+        offsets[:, :2] = rng.uniform(-2.5, 2.5, (NP, 2))
         verts = verts[:NP] + offsets[:, None]
         joints = joints[:NP] + offsets[:, None]
 
-        # camera looking at the group center
-        center = joints[:, 0].mean(axis=0)
+        # camera looking near (not at) the group center: look-at jitter
+        # moves persons off-center toward the frame edges
+        center = (joints[:, 0].mean(axis=0) if NP
+                  else np.array([0.0, 0.0, 1.0]))
         az = rng.uniform(0, 2 * np.pi)
         dist = rng.uniform(2.5, 9.0)
         height = rng.uniform(0.6, 2.2)
         pos = np.array([center[0] + dist * np.cos(az),
                         center[1] + dist * np.sin(az), height])
-        R, cpos = lookat_cam(pos, center + rng.normal(0, 0.15, 3))
+        R, cpos = lookat_cam(pos, center + rng.normal(0, 0.4, 3))
         f = size * rng.uniform(0.9, 1.4)
         Kmat = np.array([[f, 0, size / 2], [0, f, size / 2], [0, 0, 1]],
                         np.float32)
 
-        meshes = [person_mesh(self.smpl, verts[p], joints[p], rng)
+        meshes = [person_mesh(self.smpl, verts[p], joints[p], rng,
+                              lbs_weights=self._lbs_weights)
                   for p in range(NP)]
         img = render_meshes(meshes, R, cpos, Kmat, size, rng)
 
@@ -381,7 +401,7 @@ class DetectorDataGen:
         # image-domain randomization AFTER projecting: occluders + blur in
         # the content area, then inference-matching letterbox (kp follow)
         img = occlude_and_blur(img, rng)
-        img, kp = letterbox_content(img, kp, rng)
+        img, kp, Kmat = letterbox_content(img, kp, rng, Kmat)
 
         M = c.max_people
         gt_center_idx = np.zeros((M, 2), np.int32)

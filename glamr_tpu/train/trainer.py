@@ -506,11 +506,20 @@ def make_detector_pool_sampler(pool: dict, batch_size: int,
                                   minval=0.85, maxval=1.15)
         contrast = jax.random.uniform(kg, (batch_size, 1, 1, 1),
                                       minval=0.8, maxval=1.2)
-        mean = img.mean(axis=(1, 2, 3), keepdims=True)
-        img = (img - mean) * contrast + mean
-        img = jnp.clip(img * bright * chan + off, 0.0, 1.0)
-        img = img + 0.02 * jax.random.normal(kn, img.shape)
-        b["images"] = img
+        # augment the CONTENT region only: letterbox padding is exactly
+        # zero at inference (estimator.py detect_video zero-fills), so
+        # brightness/offset/noise must not leak into it, and the contrast
+        # mean must not be diluted by padding rows. Padding pixels are
+        # exactly (0,0,0) uint8 by construction (letterbox_content).
+        content = (b["images"].sum(axis=-1, keepdims=True) > 0
+                   ).astype(jnp.float32)
+        npix = jnp.maximum(content.sum(axis=(1, 2, 3), keepdims=True), 1.0)
+        mean = (img * content).sum(axis=(1, 2, 3), keepdims=True) \
+            / (npix * img.shape[-1])
+        aug = (img - mean) * contrast + mean
+        aug = jnp.clip(aug * bright * chan + off, 0.0, 1.0)
+        aug = aug + 0.02 * jax.random.normal(kn, aug.shape)
+        b["images"] = aug * content
         b["gt_center_hm"] = b["gt_center_hm"].astype(jnp.float32) / 255.0
         b["gt_kp_hm"] = b["gt_kp_hm"].astype(jnp.float32) / 255.0
         return b
