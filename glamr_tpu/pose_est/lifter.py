@@ -39,6 +39,11 @@ class LifterConfig:
     nlayer: int = 3
     dropout: float = 0.1
     num_twist: int = NUM_TWISTS
+    # structural depth prior from keypoint spread (the reference anchors
+    # monocular depth the same way: fixed focal + bbox-scale cue,
+    # pose_est/hybrik_demo/demo.py:175-199). False keeps the legacy free
+    # depth head (and checkpoint param structure).
+    depth_prior: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "LifterConfig":
@@ -79,10 +84,42 @@ class KeypointLifter(nn.Module):
         jpos = jpos - jpos[:, :, :1]
 
         # root translation: direction carried by the (predicted) root uv,
-        # scale by a positive depth head. Depth enters via softplus + 1 so
-        # the person is always in front of the camera.
+        # scale by a positive depth head.
         root_uv = nn.Dense(2, name="root_uv_head")(x)
-        depth = nn.softplus(nn.Dense(1, name="depth_head")(x)) + 1.0
+        if c.depth_prior:
+            # geometric depth anchor: in normalized camera coords the
+            # visible-keypoint spread of a person scales as
+            # (body size)/depth, so log(depth) = -log(spread) + const.
+            # Regressing a residual about that anchor (instead of free
+            # depth) pins the absolute scale to the same bbox-size cue
+            # the reference uses (hybrik_demo/demo.py:175-199) and stops
+            # per-frame depth drift from accumulating.
+            w = vis[..., None]
+            denom = jnp.maximum(w.sum(axis=2, keepdims=True), 1.0)
+            mu = (kp_2d * w).sum(axis=2, keepdims=True) / denom
+            var = (w * jnp.square(kp_2d - mu)).sum(axis=(2, 3)) \
+                / denom[..., 0, 0]
+            spread = jnp.sqrt(var + 1e-6)                      # (B, T)
+            log_zgeo = -jnp.log(jnp.clip(spread, 1e-3, 10.0))
+            # frames with (almost) no visible keypoints have a meaningless
+            # spread — anchor them to the window's mean over valid frames
+            # (the residual head sees `vis` and handles the rest)
+            valid = (vis.sum(axis=2) > 2.0).astype(jnp.float32)  # (B, T)
+            wmean = (log_zgeo * valid).sum(axis=1, keepdims=True) \
+                / jnp.maximum(valid.sum(axis=1, keepdims=True), 1.0)
+            log_zgeo = (valid * log_zgeo
+                        + (1.0 - valid) * wmean)[..., None]
+            # learnable scale: joints of a standing person spread ~0.45 m
+            # about their centroid, so depth ~ 0.45 * z_geo at init
+            bias = self.param("depth_prior_bias",
+                              nn.initializers.constant(-0.8), (1,))
+            log_depth = nn.Dense(1, name="depth_head")(x) + log_zgeo + bias
+            depth = jnp.exp(jnp.clip(log_depth,
+                                     jnp.log(0.3), jnp.log(50.0)))
+        else:
+            # legacy free depth head: softplus + 1 keeps the person in
+            # front of the camera
+            depth = nn.softplus(nn.Dense(1, name="depth_head")(x)) + 1.0
         root_trans = jnp.concatenate(
             [root_uv * depth, depth], axis=-1)
 

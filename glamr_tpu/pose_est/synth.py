@@ -89,7 +89,7 @@ class LifterDataGen:
         # random camera looking at the window's center of motion
         center = jw[:, 0].mean(axis=0)
         az = rng.uniform(0, 2 * np.pi)
-        dist = rng.uniform(2.5, 6.0)
+        dist = rng.uniform(2.0, 9.0)  # match the detector's camera range
         height = rng.uniform(0.5, 2.2)
         pos = np.array([center[0] + dist * np.cos(az),
                         center[1] + dist * np.sin(az), height])
