@@ -126,6 +126,65 @@ def _idle_pose(rng, T):
     return pose, speed, np.zeros(T, np.float32)
 
 
+def _run_pose(rng, T, fps=30.0):
+    """Running gait: higher stride frequency, larger flexions, forward
+    torso lean, arms pumping at ~90 deg elbows."""
+    f = rng.uniform(2.0, 3.0)
+    phi = 2 * np.pi * f * np.arange(T) / fps + rng.uniform(0, 2 * np.pi)
+    a_hip = rng.uniform(0.6, 0.95)
+    a_knee = rng.uniform(1.0, 1.6)
+    pose = np.zeros((T, 24, 3), np.float32)
+    s, c = np.sin(phi), np.cos(phi)
+    pose[:, L_HIP, 0] = a_hip * s
+    pose[:, R_HIP, 0] = -a_hip * s
+    pose[:, L_KNEE, 0] = a_knee * np.maximum(0.0, c)
+    pose[:, R_KNEE, 0] = a_knee * np.maximum(0.0, -c)
+    pose[:, L_ANKLE, 0] = -0.35 * a_hip * s
+    pose[:, R_ANKLE, 0] = 0.35 * a_hip * s
+    pose[:, SPINE1, 0] = rng.uniform(0.15, 0.35)       # forward lean
+    pose[:, L_SHOULDER, 2] = -1.1
+    pose[:, R_SHOULDER, 2] = 1.1
+    pose[:, L_SHOULDER, 0] = -0.7 * a_hip * s
+    pose[:, R_SHOULDER, 0] = 0.7 * a_hip * s
+    pose[:, L_ELBOW, 1] = -1.2
+    pose[:, R_ELBOW, 1] = 1.2
+    speed = rng.uniform(2.2, 4.0) * (1 + 0.1 * np.sin(2 * phi))
+    bob = 0.05 * np.sin(2 * phi)
+    return pose, speed.astype(np.float32), bob.astype(np.float32)
+
+
+def _crouch_pose(rng, T):
+    """Crouched stance (deep knee/hip flexion) with slow sway — the
+    non-upright silhouettes occlusion recovery must handle."""
+    pose, speed, bob = _idle_pose(rng, T)
+    depth = rng.uniform(0.6, 1.3)
+    ramp = np.clip(np.arange(T) / max(int(rng.uniform(10, 30)), 1), 0, 1)
+    pose[:, L_HIP, 0] += depth * ramp
+    pose[:, R_HIP, 0] += depth * ramp
+    pose[:, L_KNEE, 0] += 1.5 * depth * ramp
+    pose[:, R_KNEE, 0] += 1.5 * depth * ramp
+    pose[:, SPINE1, 0] += 0.4 * depth * ramp
+    bob = (-0.25 * depth * ramp).astype(np.float32)
+    return pose, speed, bob
+
+
+def _gesture_pose(rng, T, fps=30.0):
+    """Standing with an arm raise/wave — decorrelates arm motion from the
+    gait cycle so the prior doesn't weld arms to legs."""
+    pose, speed, bob = _idle_pose(rng, T)
+    side = int(rng.integers(2))
+    SH, EL = (L_SHOULDER, L_ELBOW) if side == 0 else (R_SHOULDER, R_ELBOW)
+    sign = -1.0 if side == 0 else 1.0
+    f = rng.uniform(0.5, 1.5)
+    phi = 2 * np.pi * f * np.arange(T) / fps + rng.uniform(0, 2 * np.pi)
+    raise_amt = rng.uniform(1.2, 2.2)
+    ramp = np.clip(np.arange(T) / max(int(rng.uniform(15, 40)), 1), 0, 1)
+    pose[:, SH, 2] += -sign * raise_amt * ramp          # arm up
+    pose[:, EL, 1] = sign * (0.4 + 0.35 * np.sin(phi)) * ramp  # wave
+    pose[:, HEAD, 1] += 0.05 * np.sin(0.5 * phi)
+    return pose, speed, bob
+
+
 def procedural_motions(num_seqs: int = 64, min_len: int = 120,
                        max_len: int = 600, seed: int = 0,
                        fps: float = 30.0) -> list[dict]:
@@ -135,16 +194,39 @@ def procedural_motions(num_seqs: int = 64, min_len: int = 120,
     motions = []
     for i in range(num_seqs):
         T = int(rng.integers(min_len, max_len + 1))
-        kind = rng.choice(["walk", "walk", "walk", "turn", "idle"])
+        kind = rng.choice(["walk", "walk", "walk", "turn", "idle",
+                           "run", "stopgo", "crouch", "gesture"])
         if kind == "idle":
             pose, speed, bob = _idle_pose(rng, T)
             omega = _ou_process(rng, T, theta=0.05, sigma=0.002)
+        elif kind == "crouch":
+            pose, speed, bob = _crouch_pose(rng, T)
+            omega = _ou_process(rng, T, theta=0.05, sigma=0.002)
+        elif kind == "gesture":
+            pose, speed, bob = _gesture_pose(rng, T, fps)
+            omega = _ou_process(rng, T, theta=0.05, sigma=0.003)
+        elif kind == "run":
+            pose, speed, bob = _run_pose(rng, T, fps)
+            omega = _ou_process(rng, T, theta=0.03, sigma=0.01)
         else:
             pose, speed, bob = _gait_pose(rng, T, fps)
             if kind == "turn":
                 speed *= rng.uniform(0.0, 0.3)
                 omega = np.full(T, rng.uniform(-1.2, 1.2), np.float32) \
                     + _ou_process(rng, T, theta=0.05, sigma=0.01)
+            elif kind == "stopgo":
+                # walking with halts: speed gated by a smooth 0/1
+                # envelope; pose amplitude follows so the legs actually
+                # stop (the infiller must bridge motion/stillness
+                # transitions, not just steady gait)
+                gate = _ou_process(rng, T, theta=0.02, sigma=0.03)
+                env = (1.0 / (1.0 + np.exp(-8.0 * gate))).astype(np.float32)
+                speed = (speed * env).astype(np.float32)
+                idle, _, _ = _idle_pose(rng, T)
+                e3 = env[:, None, None]
+                pose = e3 * pose + (1.0 - e3) * idle  # halt -> idle stance
+                bob = (bob * env).astype(np.float32)
+                omega = _ou_process(rng, T, theta=0.03, sigma=0.01)
             else:
                 omega = _ou_process(rng, T, theta=0.03, sigma=0.015)
         # small unstructured jitter so the prior isn't a pure sinusoid
