@@ -68,6 +68,13 @@ def main(argv=None):
                         help="bucket sequence lengths up to multiples of "
                              "this (reuses compiled stage programs across "
                              "sequences; 0 = exact shapes)")
+    parser.add_argument("--joint_model", default="auto",
+                        choices=["auto", "none", "random"],
+                        help="CVAE ablation arm: auto = load trained "
+                             "checkpoints when the cfg asks for them; "
+                             "none = est-derived trajectory (no CVAE "
+                             "prior); random = randomly initialized "
+                             "CVAEs (untrained-prior control)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -88,11 +95,17 @@ def main(argv=None):
 
     joint_model = None
     specs = cfg.get("grecon_model_specs", {})
-    if specs.get("flag_infer_motion_traj") and "motion_traj_cfg" in specs:
+    if (specs.get("flag_infer_motion_traj") and "motion_traj_cfg" in specs
+            and args.joint_model != "none"):
         try:
-            joint_model = load_joint_model(Config(specs["motion_traj_cfg"]))
+            joint_model = load_joint_model(
+                Config(specs["motion_traj_cfg"]),
+                random_init=args.joint_model == "random")
         except FileNotFoundError as e:
             log.info(f"joint model unavailable ({e}); using est-derived traj")
+    if args.joint_model == "none":
+        log.info("joint model disabled (--joint_model none); "
+                 "est-derived trajectory")
     grecon = GlobalReconOptimizer(cfg, joint_model=joint_model, log=log,
                                   block_per_stage=args.block_per_stage)
 

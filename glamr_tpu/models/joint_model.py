@@ -24,13 +24,15 @@ from .traj_pred import TrajPredVAE, predict_multi_step
 
 
 def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
-                     require_checkpoints: bool = False):
+                     require_checkpoints: bool = False,
+                     random_init: bool = False):
     """Build a JointModel from a joint_motion_traj config (reference
     MotionTrajJointModel.__init__/load_* :17-71): resolves the two model
     configs, initializes the flax modules, and loads the latest trained
     checkpoints from results_root_dir/<cfg>/version_N/checkpoints when
     present (randomly-initialized params otherwise, unless
-    require_checkpoints).
+    require_checkpoints). `random_init=True` skips checkpoint loading
+    entirely — the untrained-prior arm of CVAE ablations.
     """
     import os
 
@@ -71,7 +73,7 @@ def load_joint_model(mt_cfg, smpl=None, rng_seed: int = 0,
         from ..utils.checkpoint import released_checkpoint_path
         return released_checkpoint_path(yaml_cfg.id)
 
-    for name, params_ref, yaml_cfg, sel in [
+    for name, params_ref, yaml_cfg, sel in [] if random_init else [
         ("mfiller", "mf", mf_yaml, specs.get("mfiller_cp", "best")),
         ("trajpred", "tp", tp_yaml, specs.get("trajpred_cp", "best")),
     ]:

@@ -144,19 +144,36 @@ def build_sequence(theta, rng, args, smpl, m26to24, K):
         "bboxes_dict": {"exist": exist},
     }}
     meta = {"cam_K": K, "image_w": 800, "image_h": 600}
+
+    # ---- "input floor": the degraded estimate expressed in the z-up
+    # world (known camera extrinsics inverted), with NO optimization —
+    # scoring this directly gives the error the optimizer starts from.
+    # The evaluator's 3DPW +90x GT fix reproduces exactly this z-up world.
+    Rcq_inv = angle_axis_to_quaternion(jnp.asarray(
+        np.array([-np.pi / 2, 0.0, 0.0], np.float32)))
+    floor_oq = quat_mul(jnp.broadcast_to(Rcq_inv, (T, 4)),
+                        angle_axis_to_quaternion(jnp.asarray(est_orient)))
+    floor_orient = np.asarray(quaternion_to_angle_axis(floor_oq))
+    floor_trans = est_trans @ Rc + cam_origin  # Rc^T x == x @ Rc
+    floor = {
+        "orient_world": floor_orient.astype(np.float32),
+        "pose_body": est_pose_body.astype(np.float32),
+        "trans_world": floor_trans.astype(np.float32),
+        "beta": beta.astype(np.float32),
+        "exist": exist.copy(),
+    }
     return {"person_data": {0: gt_person}, "meta": meta}, est, \
-        {"occluded": [int(s0), int(s0 + span)]}
+        {"occluded": [int(s0), int(s0 + span)], "floor": floor}
 
 
-def main():
-    args = parse_args()
+def generate_dataset(workdir, out_dir, args):
+    """Fresh synthetic-GT dataset tree + degraded pose_est caches under
+    `workdir`; pose.pkl files land in `out_dir`/pose_est/<seq>/. Returns
+    (seq_names, occl_info, floors) — floors holds the full-frame degraded
+    arrays in the z-up world for no-optimization scoring."""
     from glamr_tpu.body import get_smpl, smpl_to_body26fk_map
-    from glamr_tpu.cli import eval_dataset, run_dataset
     from glamr_tpu.data import procedural_amass_data
-    from glamr_tpu.utils import Config
-    from glamr_tpu.utils.cache import enable_compile_cache
 
-    enable_compile_cache()
     smpl = get_smpl("body26fk", synthetic=True)
     m = smpl_to_body26fk_map()
     K = np.array([[800.0, 0, 400], [0, 800, 300], [0, 0, 1]], np.float32)
@@ -170,18 +187,15 @@ def main():
     assert len(thetas) == args.num_seqs, \
         f"only {len(thetas)} usable sequences"
 
-    workdir = os.path.abspath(args.workdir)
-    if os.path.isdir(workdir):
-        shutil.rmtree(workdir)
     gt_dir = os.path.join(workdir, "datasets", "3DPW", "processed_v1", "pose")
-    out_dir = os.path.join(workdir, "out")
     os.makedirs(gt_dir, exist_ok=True)
     rng = np.random.default_rng(args.data_seed)
-    seq_names, occl_info = [], {}
+    seq_names, occl_info, floors = [], {}, {}
     for i, theta in enumerate(thetas):
         gt_pkl, est, info = build_sequence(theta, rng, args, smpl, m, K)
         seq = f"synth_{i:02d}"
         seq_names.append(seq)
+        floors[seq] = info.pop("floor")
         occl_info[seq] = info
         with open(os.path.join(gt_dir, f"{seq}.pkl"), "wb") as f:
             pickle.dump(gt_pkl, f)
@@ -189,6 +203,20 @@ def main():
         os.makedirs(pe_dir, exist_ok=True)
         with open(os.path.join(pe_dir, "pose.pkl"), "wb") as f:
             pickle.dump(est, f)
+    return seq_names, occl_info, floors
+
+
+def main():
+    args = parse_args()
+    from glamr_tpu.cli import eval_dataset, run_dataset
+    from glamr_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    workdir = os.path.abspath(args.workdir)
+    if os.path.isdir(workdir):
+        shutil.rmtree(workdir)
+    out_dir = os.path.join(workdir, "out")
+    seq_names, occl_info, _ = generate_dataset(workdir, out_dir, args)
 
     cwd = os.getcwd()
     os.chdir(workdir)  # run_dataset resolves datasets/ relative to cwd
