@@ -335,3 +335,117 @@ def test_warmup_cli(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     cached = [f for _, _, fs in os.walk(cache) for f in fs]
     assert cached, "no compiled programs written to the cache"
+
+
+@pytest.mark.slow
+def test_run_and_eval_dataset_h36m(tmp_path, monkeypatch):
+    """glamr_h36m end-to-end on a synthetic Dynamic-H36M sequence built
+    through the production preprocessing (convert_h36m_sequence ->
+    create_occluded_scene dynamic-camera sinusoidal crop), driven through
+    run_dataset -> eval_dataset with the shipped glamr_h36m cfg — the
+    reference's Dynamic-H36M protocol (preprocess_h36m_occluded.py:27-151
+    + global_recon/eval_dataset.py) with synthetic stand-in data."""
+    import yaml
+
+    from glamr_tpu.cli import eval_dataset, run_dataset
+    from glamr_tpu.preprocess.h36m import (convert_h36m_sequence,
+                                           create_occluded_scene)
+
+    rng = np.random.default_rng(0)
+    smpl = get_smpl("body26fk", synthetic=True)
+    T2 = 48  # pre-subsample frames -> 24 after the ::2 subsample
+    pose = rng.normal(0, 0.1, (T2, 72)).astype(np.float32)
+    pose[:, :3] += np.array([1.2092, 1.2092, 1.2092], np.float32)
+    trans = np.zeros((T2, 3), np.float32)
+    trans[:, 0] = np.linspace(-0.5, 0.5, T2)  # walk so the crop follows
+    trans[:, 2] = 0.9
+    shape = np.tile(rng.normal(0, 0.3, (1, 10)).astype(np.float32), (T2, 1))
+
+    # camera 4 m back on -y, looking +y (z-up world): rows = cam axes
+    cam_R = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+    cam_t = -cam_R @ np.array([0, -4.0, 0.9], np.float32)
+    cam_K = np.array([[900.0, 0, 500], [0, 900, 500], [0, 0, 1]], np.float32)
+
+    pose_pkl, bb = convert_h36m_sequence(pose, shape, trans, cam_R, cam_t,
+                                         cam_K, smpl=smpl,
+                                         image_size=(1000, 1000))
+    seq = "s_09_act_02_subact_01_ca_01"
+    proc = tmp_path / "datasets" / "H36M" / "processed_v1"
+    for sub in ["pose", "bbox"]:
+        os.makedirs(proc / sub, exist_ok=True)
+    with open(proc / "pose" / f"{seq}.pkl", "wb") as f:
+        pickle.dump(pose_pkl, f)
+    with open(proc / "bbox" / f"{seq}.pkl", "wb") as f:
+        pickle.dump(bb, f)
+
+    # dynamic-camera occlusion crop (image-free): small window + fast
+    # sinusoid so visibility actually drops at this tiny T
+    occ = tmp_path / "datasets" / "H36M" / "occluded_v2"
+    scene = create_occluded_scene(
+        str(proc / "pose"), str(proc / "bbox"), None, str(occ), seq,
+        specs={"crop_w": 420, "crop_h": 420, "magnitude": [260, 15],
+               "period": 12, "min_vis_kp": 6})
+    pd = scene["person_data"][0]
+    visible = np.asarray(pd["visible"], bool)
+    assert 0 < visible.sum() < len(visible), \
+        "the crop must create real occlusion"
+
+    # pose-est pkl from the occluded-scene geometry: cam-frame pose +
+    # keypoints projected with the crop-shifted intrinsics
+    Tn = len(visible)
+    orient_cam = np.asarray(pd["pose_cam"][:, :3], np.float32)
+    body = np.asarray(pd["pose_cam"][:, 3:], np.float32)
+    beta = np.tile(np.asarray(pd["shape"], np.float32)[None], (Tn, 1))
+    root_cam = np.asarray(pd["root_trans_cam"], np.float32)
+    joints = np.asarray(smpl.joints_fast(
+        jnp.asarray(orient_cam), jnp.asarray(body), jnp.asarray(beta),
+        root_trans=jnp.asarray(root_cam)))
+    Kc = np.asarray(scene["meta"]["cam_K"], np.float32)  # (Tn, 3, 3)
+    m = smpl_to_body26fk_map()
+    kp26 = np.einsum("tij,tnj->tni", Kc,
+                     joints / joints[..., 2:3])[..., :2]
+    kp24 = np.zeros((Tn, 24, 2), np.float32)
+    kp24[:, m[:, 1]] = kp26[:, m[:, 0]]
+    rotmats = np.asarray(angle_axis_to_rotation_matrix(jnp.asarray(
+        np.concatenate([orient_cam[:, None], body.reshape(Tn, 23, 3)], 1))))
+    est = {0: {
+        "smpl_pose_quat_wroot": rotmats[visible],
+        "smpl_beta": beta[visible],
+        "root_trans": root_cam[visible],
+        "kp_2d": kp24[visible],
+        "cam_K": Kc[visible],
+        "bboxes_dict": {"exist": visible.astype(np.float32)},
+    }}
+    out_dir = tmp_path / "out"
+    pe = out_dir / "pose_est" / seq
+    os.makedirs(pe, exist_ok=True)
+    with open(pe / "pose.pkl", "wb") as f:
+        pickle.dump(est, f)
+
+    monkeypatch.chdir(tmp_path)
+    from glamr_tpu.utils import Config
+    cfg = Config("glamr_h36m")
+    assert cfg.dataset == "h36m"
+    assert cfg.grecon_model_specs["flag_infer_motion_traj"]
+    for ss in cfg.opt_stage_specs.values():
+        ss["opt_niters"] = 5
+    cfg_file = tmp_path / "glamr_h36m_tiny.yml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.yml_dict, f)
+
+    run_dataset.main([
+        "--dataset", "h36m", "--cfg", str(cfg_file),
+        "--out_dir", str(out_dir), "--sequences", seq, "--seeds", "1",
+    ])
+    out_pkl = out_dir / f"{seq}_seed1.pkl"
+    assert out_pkl.exists()
+
+    acc = eval_dataset.main([
+        "--dataset", "h36m", "--cfg", str(cfg_file),
+        "--out_dir", str(out_dir), "--sequences", seq, "--seeds", "1",
+    ])
+    m = acc["metrics"]
+    assert m["PA-MPJPE"].count > 0
+    assert np.isfinite(m["PA-MPJPE"].avg)
+    assert np.isfinite(m["G-MPJPE"].avg)
+    assert np.isfinite(m["PA-MPJPE-invis"].avg)  # occluded frames scored
