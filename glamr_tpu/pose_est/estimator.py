@@ -184,18 +184,47 @@ def detect_video(frames: np.ndarray, model, params,
     return dets
 
 
+def filter_person_tracks(tracks: dict, min_kp_conf: float = 0.30,
+                         min_len: int = 15) -> dict:
+    """Keep tracks that look like PEOPLE, not person-shaped structures.
+
+    Measured on the reference's basketball demo: person tracks carry
+    mean keypoint confidence 0.56-0.60 (83% of keypoints confident),
+    while the persistent false positive on the hoop/backboard carries
+    0.13-0.21 with near-zero confident keypoints — the detector's center
+    head fires on the structure but its keypoint heads find no limbs.
+    Gating on keypoint evidence (not detection score) keeps real but
+    hard people (dark clothing, partial occlusion) and drops structures.
+    Short fragments below min_len frames are noise for reconstruction
+    purposes (the reference's MPT tracker drops them the same way,
+    hybrik_demo/demo.py:114-142).
+    """
+    kept = {}
+    for tr in tracks.values():
+        conf = np.asarray(tr["conf"], np.float32)
+        if len(tr["frames"]) < min_len:
+            continue
+        if float(conf.mean()) < min_kp_conf:
+            continue
+        kept[len(kept)] = tr
+    return kept
+
+
 def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
                    detector=None, detector_params=None,
                    lifter=None, lifter_params=None, smpl=None,
                    score_thresh: float = 0.3,
+                   min_kp_conf: float = 0.30, min_track_len: int = 15,
                    pose_est_dir: Optional[str] = None) -> dict:
     """Fully in-framework stage 1: video frames -> pose.pkl.
 
     detector (conv net) finds people + 2D keypoints per frame, the greedy
-    tracker links them into identities, and the keypoint lifter + analytic
-    IK regress SMPL pose — replacing the reference's external
-    FasterRCNN/YOLO+MPT+HybrIK stack (pose_est/run_pose_est_demo.py:25-28,
-    hybrik_demo/demo.py:114-142,238-265) end to end.
+    tracker links them into identities, keypoint-evidence gating drops
+    person-shaped structures (filter_person_tracks), and the keypoint
+    lifter + analytic IK regress SMPL pose — replacing the reference's
+    external FasterRCNN/YOLO+MPT+HybrIK stack
+    (pose_est/run_pose_est_demo.py:25-28, hybrik_demo/demo.py:114-142,
+    238-265) end to end.
 
     cam_K defaults to the reference's fixed-focal-1000 convention with the
     principal point at the image center (hybrik_demo/demo.py:175-199).
@@ -213,7 +242,9 @@ def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
 
     dets = detect_video(frames, detector, detector_params,
                         score_thresh=score_thresh)
-    tracks = track_detections(dets)
+    tracks = filter_person_tracks(track_detections(dets),
+                                  min_kp_conf=min_kp_conf,
+                                  min_len=min_track_len)
     return run_lifter_on_tracks(tracks, cam_K, T, model=lifter,
                                 params=lifter_params, smpl=smpl,
                                 pose_est_dir=pose_est_dir)

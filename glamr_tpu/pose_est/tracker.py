@@ -53,6 +53,7 @@ class GreedyTracker:
                 t["frames"].append(frame_idx)
                 t["kp_2d"].append(np.asarray(kp_2d[d], np.float32))
                 t["conf"].append(np.asarray(kp_conf[d], np.float32))
+                t["scores"].append(float(scores[d]))
                 t["last_center"] = centers[d]
                 t["last_frame"] = frame_idx
                 used_tr[a] = used_det[d] = True
@@ -67,6 +68,7 @@ class GreedyTracker:
                 "frames": [frame_idx],
                 "kp_2d": [np.asarray(kp_2d[d], np.float32)],
                 "conf": [np.asarray(kp_conf[d], np.float32)],
+                "scores": [float(scores[d])],
                 "last_center": centers[d],
                 "last_frame": frame_idx,
             })
@@ -82,6 +84,7 @@ class GreedyTracker:
                 "frames": np.asarray(t["frames"], np.int64),
                 "kp_2d": np.stack(t["kp_2d"]),
                 "conf": np.stack(t["conf"]),
+                "scores": np.asarray(t["scores"], np.float32),
             }
             for pid, t in enumerate(tracks)
         }
@@ -116,6 +119,8 @@ def merge_tracks(tracks: dict, merge_dist: float = 96.0, max_gap: int = 90,
         frames = np.asarray(f["frames"], np.int64)
         kp = np.asarray(f["kp_2d"], np.float32)
         conf = np.asarray(f["conf"], np.float32)
+        scores = np.asarray(f.get("scores", np.ones(len(frames))),
+                            np.float32)
         start_c = kp[0].mean(axis=0)
         best, best_d = None, np.inf
         for ch in chains:
@@ -126,12 +131,14 @@ def merge_tracks(tracks: dict, merge_dist: float = 96.0, max_gap: int = 90,
             if d <= merge_dist and d < best_d:
                 best, best_d = ch, d
         if best is None:
-            chains.append({"frames": frames, "kp_2d": kp, "conf": conf})
+            chains.append({"frames": frames, "kp_2d": kp, "conf": conf,
+                           "scores": scores})
             continue
         keep = frames > best["frames"][-1]
         best["frames"] = np.concatenate([best["frames"], frames[keep]])
         best["kp_2d"] = np.concatenate([best["kp_2d"], kp[keep]])
         best["conf"] = np.concatenate([best["conf"], conf[keep]])
+        best["scores"] = np.concatenate([best["scores"], scores[keep]])
     chains.sort(key=lambda ch: int(ch["frames"][0]))
     return {pid: ch for pid, ch in enumerate(chains)}
 

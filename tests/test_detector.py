@@ -303,3 +303,28 @@ def test_detector_pool_fused_epoch(datagen, tiny_cfg):
     assert losses.shape == (20,)
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_filter_person_tracks_gates_on_keypoint_evidence():
+    """A long high-kp-confidence track survives; a person-shaped
+    STRUCTURE (detector center fires, keypoint heads find no limbs —
+    the basketball-hoop false positive measured on the reference demo
+    clip) and short flickers are dropped."""
+    from glamr_tpu.pose_est.estimator import filter_person_tracks
+
+    K = 24
+
+    def mk(n, conf_level):
+        return {
+            "frames": np.arange(n, dtype=np.int64),
+            "kp_2d": np.zeros((n, K, 2), np.float32),
+            "conf": np.full((n, K), conf_level, np.float32),
+            "scores": np.full(n, 0.8, np.float32),
+        }
+
+    tracks = {0: mk(100, 0.6),   # person
+              1: mk(100, 0.12),  # structure FP: confident center, no kps
+              2: mk(5, 0.9)}     # flicker
+    kept = filter_person_tracks(tracks, min_kp_conf=0.30, min_len=15)
+    assert len(kept) == 1
+    assert kept[0]["conf"].mean() > 0.5
