@@ -92,7 +92,18 @@ def build_sequence(theta, rng, args, smpl, m26to24, K):
     trans_cam = (trans - cam_origin) @ Rc.T
 
     # GT in y-up 3DPW world: inverse of the evaluator's +90x fix applied
-    # to the z-up world
+    # to the z-up world. Convention note (measured, see RESULTS.md error
+    # decomposition): the PRODUCT flow (CVAE trajectory prediction,
+    # flag_infer_motion_traj) outputs a CANONICAL Z-UP world (reference
+    # init_default_traj z=0.8, camera derived from person pose,
+    # global_recon_model.py:294-321) — this GT matches it, and the
+    # evaluator's chunked heading alignment removes the remaining
+    # yaw/xy gauge. The no-CVAE DIAGNOSTIC path instead anchors its
+    # world at the identity camera (z = camera depth ~4 m, pitched 90°);
+    # scoring that arm against this GT without a frame correction
+    # inflates G-MPJPE by ~3.2 m regardless of input quality —
+    # eval_ablation.py (swap_gt_to_camconv) re-gauges that arm's GT to
+    # the cam-frame convention (gt_*_camconv below) before evaluation.
     qinv = angle_axis_to_quaternion(jnp.asarray(
         np.array([-np.pi / 2, 0.0, 0.0], np.float32)))
     gt_oq = quat_mul(jnp.broadcast_to(qinv, (T, 4)), oq)
@@ -148,7 +159,6 @@ def build_sequence(theta, rng, args, smpl, m26to24, K):
     # ---- "input floor": the degraded estimate expressed in the z-up
     # world (known camera extrinsics inverted), with NO optimization —
     # scoring this directly gives the error the optimizer starts from.
-    # The evaluator's 3DPW +90x GT fix reproduces exactly this z-up world.
     Rcq_inv = angle_axis_to_quaternion(jnp.asarray(
         np.array([-np.pi / 2, 0.0, 0.0], np.float32)))
     floor_oq = quat_mul(jnp.broadcast_to(Rcq_inv, (T, 4)),
@@ -161,6 +171,23 @@ def build_sequence(theta, rng, args, smpl, m26to24, K):
         "trans_world": floor_trans.astype(np.float32),
         "beta": beta.astype(np.float32),
         "exist": exist.copy(),
+        # known TRUE extrinsics, for correcting cam-anchored-world arms
+        # (no-CVAE diagnostic) into this GT's z-up frame
+        "cam_R": Rc.copy(), "cam_origin": cam_origin.copy(),
+        # TRUE pose in the CAM-FRAME gauge (inverse-fix form): the
+        # no-CVAE diagnostic arm anchors its world at the identity
+        # camera with an arbitrary heading gauge about z_cam; scoring it
+        # against THIS GT lets the evaluator's chunked heading alignment
+        # remove that gauge (it cannot once the frame is pitched to
+        # z-up), making the arm comparable to the CVAE arms
+        "gt_pose_camconv": np.concatenate(
+            [np.asarray(quaternion_to_angle_axis(quat_mul(
+                jnp.broadcast_to(qinv, (T, 4)),
+                angle_axis_to_quaternion(jnp.asarray(orient_cam))))),
+             pose[:, 3:]], -1).astype(np.float32),
+        "gt_trans_camconv": np.asarray(quat_apply(
+            jnp.broadcast_to(qinv, (T, 4)),
+            jnp.asarray(trans_cam))).astype(np.float32),
     }
     return {"person_data": {0: gt_person}, "meta": meta}, est, \
         {"occluded": [int(s0), int(s0 + span)], "floor": floor}
