@@ -48,6 +48,11 @@ def part_palette(rng: np.random.Generator) -> np.ndarray:
     skin = np.array([0.8, 0.6, 0.5]) * rng.uniform(0.5, 1.25)
     shirt = rng.uniform(0.1, 0.95, 3)
     pants = rng.uniform(0.1, 0.95, 3)
+    if rng.uniform() < 0.2:
+        # dark low-contrast outfit (black hoodie / dark tracksuit): the
+        # failure case measured on the basketball demo's second person
+        shirt = rng.uniform(0.02, 0.18, 3)
+        pants = rng.uniform(0.02, 0.18, 3)
     cols = np.zeros((_NUM_PARTS, 3))
     cols[0] = skin                                   # head
     cols[1] = shirt                                  # torso
@@ -145,6 +150,80 @@ def capsule_body_mesh(joints: np.ndarray, parents: np.ndarray,
         base += len(v)
     return (np.concatenate(all_v), np.concatenate(all_f),
             np.concatenate(all_p))
+
+
+def _tube_mesh(p: np.ndarray, q: np.ndarray, r: float, nseg: int = 8):
+    """Closed tube from p to q with radius r -> (verts, faces)."""
+    p, q = np.asarray(p, np.float64), np.asarray(q, np.float64)
+    axis = q - p
+    ln = np.linalg.norm(axis)
+    axis = axis / max(ln, 1e-6)
+    ref = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
+    u = np.cross(axis, ref); u /= np.linalg.norm(u)
+    w = np.cross(axis, u)
+    ang = np.linspace(0, 2 * np.pi, nseg, endpoint=False)
+    ring = np.cos(ang)[:, None] * u[None] * r + np.sin(ang)[:, None] * w[None] * r
+    v = np.concatenate([p[None] + ring, q[None] + ring, p[None], q[None]])
+    f = []
+    for i in range(nseg):
+        j = (i + 1) % nseg
+        f += [[i, j, nseg + i], [j, nseg + j, nseg + i],
+              [j, i, 2 * nseg], [nseg + i, nseg + j, 2 * nseg + 1]]
+    return v.astype(np.float32), np.asarray(f, np.int32)
+
+
+def _box_mesh(center: np.ndarray, half: np.ndarray):
+    """Axis-aligned box -> (verts, faces)."""
+    c, h = np.asarray(center, np.float32), np.asarray(half, np.float32)
+    sgn = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                    for z in (-1, 1)], np.float32)
+    v = c[None] + sgn * h[None]
+    f = np.asarray([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                    [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                    [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return v, f
+
+
+def structure_meshes(rng: np.random.Generator, n: int, area: float = 3.5):
+    """Person-scale NON-person structures as hard negatives: poles,
+    boards, and pole+board combos (the basketball-hoop shape measured as
+    a persistent mid-score false positive on the reference demo clip).
+    Rendered with NO keypoint/center labels, they teach the detector's
+    center head that vertical structures are not people.
+    Returns a list of (verts, faces, colors) render_meshes entries.
+    """
+    out = []
+    for _ in range(n):
+        x, y = rng.uniform(-area, area, 2)
+        kind = rng.choice(["pole", "board", "hoop"])
+        col = (np.tile(rng.uniform(0.05, 0.9, 3), (1, 1)) * 255.0)
+        if kind == "pole":
+            htop = rng.uniform(1.2, 3.0)
+            v, f = _tube_mesh([x, y, 0], [x, y, htop],
+                              rng.uniform(0.03, 0.12))
+            out.append((v, f, np.tile(col, (len(f), 1))))
+        elif kind == "board":
+            hz = rng.uniform(0.6, 2.4)
+            half = np.array([rng.uniform(0.25, 0.7),
+                             rng.uniform(0.02, 0.1),
+                             rng.uniform(0.3, 0.7)], np.float32)
+            v, f = _box_mesh([x, y, hz], half)
+            out.append((v, f, np.tile(col, (len(f), 1))))
+        else:  # pole with a board on top, hoop/sign-like
+            htop = rng.uniform(1.8, 3.0)
+            v1, f1 = _tube_mesh([x, y, 0], [x, y, htop],
+                                rng.uniform(0.04, 0.1))
+            v2, f2 = _box_mesh([x, y + rng.uniform(-0.2, 0.2), htop],
+                               np.array([rng.uniform(0.3, 0.6), 0.04,
+                                         rng.uniform(0.2, 0.45)],
+                                        np.float32))
+            v = np.concatenate([v1, v2])
+            f = np.concatenate([f1, f2 + len(v1)])
+            cols = np.concatenate([np.tile(col, (len(f1), 1)),
+                                   np.tile(rng.uniform(0.05, 0.9, 3)[None]
+                                           * 255.0, (len(f2), 1))])
+            out.append((v, f, cols))
+    return out
 
 
 def person_mesh(smpl, verts: np.ndarray, joints: np.ndarray,
@@ -389,6 +468,11 @@ class DetectorDataGen:
         meshes = [person_mesh(self.smpl, verts[p], joints[p], rng,
                               lbs_weights=self._lbs_weights)
                   for p in range(NP)]
+        # hard negatives: person-scale pole/board/hoop structures with NO
+        # labels — the detector must stay silent on them (measured FP on
+        # the reference basketball demo's hoop)
+        if rng.uniform() < 0.5:
+            meshes += structure_meshes(rng, int(rng.integers(1, 3)))
         img = render_meshes(meshes, R, cpos, Kmat, size, rng)
 
         # project joints -> pixel keypoints + targets
