@@ -143,12 +143,56 @@ def merge_tracks(tracks: dict, merge_dist: float = 96.0, max_gap: int = 90,
     return {pid: ch for pid, ch in enumerate(chains)}
 
 
+def suppress_duplicate_tracks(tracks: dict, dup_dist: float = 48.0,
+                              min_overlap: int = 10) -> dict:
+    """Drop concurrent duplicate ("ghost") tracks of the same person.
+
+    Frame-level NMS can still pass two detections of one person (offset
+    center, slightly different keypoints); the tracker then carries a
+    parallel ghost track for as long as the double detection persists.
+    Measured on the reference basketball demo: 5 surviving tracks for 2
+    people — the extras overlap a stronger track in time with small
+    median center distance. A ghost has >= min_overlap frames in common
+    with a stronger track and median per-frame keypoint-center distance
+    < dup_dist px; stronger = higher (mean kp conf x length), the same
+    evidence ordering filter_person_tracks gates on. Two real people
+    who merely cross are safe: the MEDIAN over the whole overlap stays
+    large when they are apart most of the time.
+    """
+    order = sorted(
+        tracks.values(),
+        key=lambda tr: -(float(np.asarray(tr["conf"]).mean())
+                         * len(tr["frames"])))
+    kept: list[dict] = []
+    for tr in order:
+        fr = {int(f): i for i, f in enumerate(tr["frames"])}
+        ctr = np.asarray(tr["kp_2d"], np.float32).mean(axis=1)
+        dup = False
+        for kt in kept:
+            common = [(fr[int(f)], j) for j, f in enumerate(kt["frames"])
+                      if int(f) in fr]
+            if len(common) < min_overlap:
+                continue
+            ia, ib = map(list, zip(*common))
+            kctr = np.asarray(kt["kp_2d"], np.float32).mean(axis=1)
+            d = np.linalg.norm(ctr[ia] - kctr[ib], axis=-1)
+            if float(np.median(d)) < dup_dist:
+                dup = True
+                break
+        if not dup:
+            kept.append(tr)
+    kept.sort(key=lambda t: int(t["frames"][0]))
+    return {pid: t for pid, t in enumerate(kept)}
+
+
 def track_detections(dets_per_frame, merge: bool = True,
                      merge_dist: float = 96.0, max_gap: int = 90,
+                     dedup: bool = True, dup_dist: float = 48.0,
                      **kwargs) -> dict:
     """Convenience: list of per-frame decode_detections outputs (host
     numpy, one dict per frame with 'centers', 'kp_2d', 'kp_conf',
-    'scores', 'valid') -> tracks dict (fragment-merged by default)."""
+    'scores', 'valid') -> tracks dict (fragment-merged and
+    ghost-suppressed by default)."""
     tr = GreedyTracker(**kwargs)
     for fi, det in enumerate(dets_per_frame):
         v = np.asarray(det["valid"], bool)
@@ -159,4 +203,6 @@ def track_detections(dets_per_frame, merge: bool = True,
     tracks = tr.finalize()
     if merge:
         tracks = merge_tracks(tracks, merge_dist=merge_dist, max_gap=max_gap)
+    if dedup:
+        tracks = suppress_duplicate_tracks(tracks, dup_dist=dup_dist)
     return tracks

@@ -215,6 +215,11 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
                          smpl=smpl, score_thresh=0.25)
     if not est:
         return {"error": "no person track detected"}
+    # single-person scene: score the dominant track (the GT dict has one
+    # person); any survivors beyond it are reported, not scored
+    extra_tracks = len(est) - 1
+    if extra_tracks:
+        est = [max(est, key=lambda e: e["frames"].shape[0])]
 
     # GT in the camera frame (world == camera for the static-cam config)
     Rj = jnp.asarray(R, jnp.float32)
@@ -271,7 +276,8 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
     # some metrics accumulate arrays (per-seed sample metrics); report means
     metrics = {k: float(np.mean(v.avg)) for k, v in md["metrics"].items()}
     metrics.update({"recon_wall_s": wall, "num_fr": T,
-                    "tracked_frames": int(est[0]["frames"].shape[0])})
+                    "tracked_frames": int(est[0]["frames"].shape[0]),
+                    "extra_tracks": extra_tracks})
     return metrics
 
 

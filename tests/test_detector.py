@@ -247,6 +247,27 @@ def test_merge_tracks_trims_small_overlap():
     assert len(fr) == 90
 
 
+def test_suppress_duplicate_tracks_drops_concurrent_ghost():
+    """A ghost track (double detection of the same person surviving
+    frame NMS: concurrent frames, small center offset) is suppressed in
+    favor of the stronger track; a second REAL person nearby in a few
+    frames but apart in most survives (median gate)."""
+    from glamr_tpu.pose_est.tracker import suppress_duplicate_tracks
+
+    person = _frag(range(0, 200), (400, 300))
+    ghost = _frag(range(40, 160), (412, 306))          # 12-px offset copy
+    ghost["conf"] *= 0.5                                # weaker evidence
+    other = _frag(range(0, 200), (800, 300))            # real second person
+    # they cross briefly: 15 frames where `other` walks through (410, 300)
+    other["kp_2d"][90:105] = np.tile(
+        np.asarray([410.0, 300.0], np.float32), (15, other["kp_2d"].shape[1], 1))
+
+    kept = suppress_duplicate_tracks({0: person, 1: ghost, 2: other})
+    assert len(kept) == 2
+    centers = sorted(float(t["kp_2d"][0, 0, 0]) for t in kept.values())
+    assert centers == [400.0, 800.0]                    # ghost gone
+
+
 def test_detect_video_shapes(tiny_cfg):
     """detect_video letterboxes arbitrary frame sizes and maps keypoints
     back to original pixels."""
