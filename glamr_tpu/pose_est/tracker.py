@@ -91,7 +91,7 @@ class GreedyTracker:
 
 
 def merge_tracks(tracks: dict, merge_dist: float = 96.0, max_gap: int = 90,
-                 overlap_tol: int = 5) -> dict:
+                 overlap_tol: int = 10) -> dict:
     """Chain track fragments of the same person across detection gaps.
 
     When the detector loses a person for longer than the tracker's
@@ -107,7 +107,9 @@ def merge_tracks(tracks: dict, merge_dist: float = 96.0, max_gap: int = 90,
     Greedy chronological chaining: fragments sorted by start frame; a
     later fragment joins an earlier chain when its start lies within
     max_gap frames after the chain's end (temporal overlaps up to
-    overlap_tol are resolved by dropping the overlapping head of the
+    overlap_tol (default 10: double-detection handoffs measured on the
+    basketball demo overlap the old fragment by ~6 frames before the
+    ghost dies) are resolved by dropping the overlapping head of the
     later fragment) and the chain-end / fragment-start keypoint centers
     are within merge_dist pixels. Among eligible chains the nearest by
     center wins, so two people standing apart never cross-merge.
@@ -143,21 +145,47 @@ def merge_tracks(tracks: dict, merge_dist: float = 96.0, max_gap: int = 90,
     return {pid: ch for pid, ch in enumerate(chains)}
 
 
-def suppress_duplicate_tracks(tracks: dict, dup_dist: float = 48.0,
-                              min_overlap: int = 10) -> dict:
-    """Drop concurrent duplicate ("ghost") tracks of the same person.
+def _absorb_track(kt: dict, tr: dict) -> dict:
+    """Fold tr's frames NOT covered by kt into kt (kt wins on common
+    frames), keeping rows frame-sorted and aligned."""
+    fr_k = {int(f) for f in kt["frames"]}
+    keep = np.array([int(f) not in fr_k for f in tr["frames"]], bool)
+    frames = np.concatenate([np.asarray(kt["frames"], np.int64),
+                             np.asarray(tr["frames"], np.int64)[keep]])
+    order = np.argsort(frames, kind="stable")
+    out = {"frames": frames[order]}
+    for key in ("kp_2d", "conf", "scores"):
+        if key in kt and key in tr:
+            merged = np.concatenate([np.asarray(kt[key]),
+                                     np.asarray(tr[key])[keep]])
+            out[key] = merged[order]
+        elif key in kt:
+            out[key] = kt[key]
+    return out
+
+
+def suppress_duplicate_tracks(tracks: dict, dup_dist: float = 96.0,
+                              min_overlap: int = 4) -> dict:
+    """Fold concurrent duplicate ("ghost") tracks of one person into the
+    strongest track of that person.
 
     Frame-level NMS can still pass two detections of one person (offset
     center, slightly different keypoints); the tracker then carries a
-    parallel ghost track for as long as the double detection persists.
-    Measured on the reference basketball demo: 5 surviving tracks for 2
-    people — the extras overlap a stronger track in time with small
-    median center distance. A ghost has >= min_overlap frames in common
-    with a stronger track and median per-frame keypoint-center distance
-    < dup_dist px; stronger = higher (mean kp conf x length), the same
-    evidence ordering filter_person_tracks gates on. Two real people
-    who merely cross are safe: the MEDIAN over the whole overlap stays
-    large when they are apart most of the time.
+    parallel ghost track — usually INTERLEAVED with the real one (the
+    greedy match flip-flops), so the two rarely co-occur and
+    merge_tracks' span-gap gate never fires. Measured on the reference
+    basketball demo: the dribbling player splits into 157- and 78-frame
+    concurrent tracks with 6 co-detected frames at median center
+    distance 71 px; downstream the recon would treat them as two people.
+
+    A ghost has >= min_overlap co-detected frames with a stronger track
+    and median keypoint-center distance < dup_dist px on those frames;
+    stronger = higher (mean kp conf x length), the evidence ordering
+    filter_person_tracks gates on. The ghost's uniquely-detected frames
+    are ABSORBED into the keeper (coverage is preserved; identity is
+    unified). Two real people who merely cross are safe: the MEDIAN
+    over all co-detected frames stays large when they are apart most of
+    the time.
     """
     order = sorted(
         tracks.values(),
@@ -167,8 +195,8 @@ def suppress_duplicate_tracks(tracks: dict, dup_dist: float = 48.0,
     for tr in order:
         fr = {int(f): i for i, f in enumerate(tr["frames"])}
         ctr = np.asarray(tr["kp_2d"], np.float32).mean(axis=1)
-        dup = False
-        for kt in kept:
+        absorbed = False
+        for ki, kt in enumerate(kept):
             common = [(fr[int(f)], j) for j, f in enumerate(kt["frames"])
                       if int(f) in fr]
             if len(common) < min_overlap:
@@ -177,9 +205,10 @@ def suppress_duplicate_tracks(tracks: dict, dup_dist: float = 48.0,
             kctr = np.asarray(kt["kp_2d"], np.float32).mean(axis=1)
             d = np.linalg.norm(ctr[ia] - kctr[ib], axis=-1)
             if float(np.median(d)) < dup_dist:
-                dup = True
+                kept[ki] = _absorb_track(kt, tr)
+                absorbed = True
                 break
-        if not dup:
+        if not absorbed:
             kept.append(tr)
     kept.sort(key=lambda t: int(t["frames"][0]))
     return {pid: t for pid, t in enumerate(kept)}
@@ -187,7 +216,7 @@ def suppress_duplicate_tracks(tracks: dict, dup_dist: float = 48.0,
 
 def track_detections(dets_per_frame, merge: bool = True,
                      merge_dist: float = 96.0, max_gap: int = 90,
-                     dedup: bool = True, dup_dist: float = 48.0,
+                     dedup: bool = True, dup_dist: float = 96.0,
                      **kwargs) -> dict:
     """Convenience: list of per-frame decode_detections outputs (host
     numpy, one dict per frame with 'centers', 'kp_2d', 'kp_conf',

@@ -245,6 +245,13 @@ def test_merge_tracks_trims_small_overlap():
     assert fr[0] == 0 and fr[-1] == 89
     assert (np.diff(fr) > 0).all()
     assert len(fr) == 90
+    # default overlap_tol covers the measured ~6-frame double-detection
+    # handoff (basketball demo: player fragments overlapped 6 frames)
+    handoff = {0: _frag(range(0, 144), (860, 550)),
+               1: _frag(range(138, 240), (858, 552))}
+    merged = merge_tracks(handoff)
+    assert len(merged) == 1
+    assert merged[0]["frames"][-1] == 239 and len(merged[0]["frames"]) == 240
 
 
 def test_suppress_duplicate_tracks_drops_concurrent_ghost():
@@ -265,7 +272,28 @@ def test_suppress_duplicate_tracks_drops_concurrent_ghost():
     kept = suppress_duplicate_tracks({0: person, 1: ghost, 2: other})
     assert len(kept) == 2
     centers = sorted(float(t["kp_2d"][0, 0, 0]) for t in kept.values())
-    assert centers == [400.0, 800.0]                    # ghost gone
+    assert centers == [400.0, 800.0]                    # ghost folded in
+
+
+def test_suppress_duplicate_tracks_absorbs_interleaved_fragments():
+    """The measured basketball failure: the greedy match flip-flops
+    between two concurrent tracks of ONE person, so they rarely
+    co-occur (span overlap large, co-detected frames few) and
+    merge_tracks' span-gap gate never fires. The ghost's unique frames
+    must be ABSORBED so coverage is preserved under one identity."""
+    from glamr_tpu.pose_est.tracker import suppress_duplicate_tracks
+
+    a_frames = [f for f in range(0, 224) if f % 3 != 2]      # sparse
+    b_frames = [f for f in range(138, 240) if f % 3 != 1]    # interleaved
+    a = _frag(a_frames, (860, 550))
+    b = _frag(b_frames, (858, 552))
+    b["conf"] *= 0.9
+    kept = suppress_duplicate_tracks({0: a, 1: b})
+    assert len(kept) == 1
+    fr = kept[0]["frames"]
+    merged = sorted(set(a_frames) | set(b_frames))
+    assert fr.tolist() == merged                        # union coverage
+    assert kept[0]["kp_2d"].shape[0] == len(merged)     # rows aligned
 
 
 def test_detect_video_shapes(tiny_cfg):
