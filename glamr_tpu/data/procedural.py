@@ -12,6 +12,17 @@ the correlation between gait phase/leg swing and root translation/heading,
 which is exactly the structure GLAMR's stage 3 exploits (traj_pred/models/
 traj_pred_vae.py predicts the 11-D local trajectory from joint positions).
 
+Family mix (v3, the measured-phantom-walk fix — RESULTS.md ablation):
+walk (with slow speed-envelope bouts), run, turn-in-place, circle
+(turn-while-moving), stop-and-go, idle (varied static arm configs),
+crouch, gesture, march-in-place (leg motion with ZERO translation),
+strafe (velocity 90 deg off facing), backstep (velocity opposite facing,
+distinct kinematics). Root speed is PHYSICALLY COUPLED to stride
+frequency x amplitude in every locomotion family, so pose -> velocity is
+a learnable deterministic mapping instead of an independent draw; the
+in-place and off-axis families break the "legs swing => root translates
+along facing" shortcut that caused the trajectory prior's phantom walk.
+
 Output matches preprocess.amass.process_amass's input schema, so FK joint
 positions and the train/test split reuse that code path unchanged.
 
@@ -79,13 +90,36 @@ def _heading_rotvec(heading: np.ndarray) -> np.ndarray:
     return (axis * angle[:, None]).astype(np.float32)
 
 
-def _gait_pose(rng, T, fps=30.0):
-    """Periodic walking-gait body pose (T, 24, 3) and per-frame speed."""
+LEG_LEN = 0.85  # m, hip-to-ground; sets the stride-length scale
+
+
+def _gait_speed(rng, f, a_hip, flight=1.0):
+    """Root speed physically coupled to the gait parameters.
+
+    Step length ~ 2 * LEG_LEN * sin(a_hip); two steps per stride cycle at
+    f Hz gives speed = 2 f * step_len, times a flight-phase factor for
+    running and a small calibration jitter. Keeping pose amplitude ->
+    speed a LEARNABLE deterministic mapping (instead of the previous
+    independent draws) is what lets the trajectory predictor read
+    velocity off the pose rather than lean on its latent — the measured
+    phantom-walk failure mode (RESULTS.md, cvae_ablation)."""
+    step_len = 2.0 * LEG_LEN * np.sin(a_hip)
+    return 2.0 * f * step_len * flight * rng.uniform(0.92, 1.08)
+
+
+def _gait_pose(rng, T, fps=30.0, envelope=None):
+    """Periodic walking-gait body pose (T, 24, 3) and per-frame speed.
+
+    envelope (T,) in [0, ~1.4] modulates stride amplitude AND speed
+    coherently over time (accelerate/slow down bouts), so time-varying
+    speed stays readable from the pose."""
     f = rng.uniform(0.7, 1.4)                       # stride frequency, Hz
     phase0 = rng.uniform(0, 2 * np.pi)
     phi = 2 * np.pi * f * np.arange(T) / fps + phase0
-    a_hip = rng.uniform(0.25, 0.55)
-    a_knee = rng.uniform(0.4, 0.9)
+    env = np.ones(T, np.float32) if envelope is None else envelope
+    a_hip0 = rng.uniform(0.25, 0.55)
+    a_hip = a_hip0 * env
+    a_knee = rng.uniform(0.4, 0.9) * env
     a_arm = a_hip * rng.uniform(0.5, 1.0)
     pose = np.zeros((T, 24, 3), np.float32)
     s, c = np.sin(phi), np.cos(phi)
@@ -107,23 +141,122 @@ def _gait_pose(rng, T, fps=30.0):
     pose[:, SPINE1, 1] = 0.04 * np.sin(2 * phi)
     pose[:, SPINE2, 2] = 0.03 * np.sin(2 * phi + 0.5)
     pose[:, HEAD, 0] = 0.03 * np.sin(2 * phi + 1.0)
-    speed = rng.uniform(0.8, 1.5) * (1 + 0.08 * np.sin(2 * phi))
-    bob = 0.025 * np.sin(2 * phi)
+    # speed tracks the (possibly time-varying) stride amplitude
+    speed = 2.0 * f * 2.0 * LEG_LEN * np.sin(a_hip) \
+        * rng.uniform(0.92, 1.08) * (1 + 0.08 * np.sin(2 * phi))
+    bob = 0.025 * env * np.sin(2 * phi)
     return pose, speed.astype(np.float32), bob.astype(np.float32)
 
 
-def _idle_pose(rng, T):
-    """Standing idle: arms down, slow sway."""
+def _idle_pose(rng, T, varied=False):
+    """Standing idle: arms down, slow sway. varied=True randomizes the
+    static arm configuration (asymmetric angles, bent elbows, a raised
+    hand) so "stationary" spans many pose shapes, not one canonical
+    stance — the predictor must recognize stillness from dynamics, not
+    from a single memorized silhouette."""
     pose = np.zeros((T, 24, 3), np.float32)
-    pose[:, L_SHOULDER, 2] = -1.25
-    pose[:, R_SHOULDER, 2] = 1.25
-    pose[:, L_ELBOW, 1] = -0.2
-    pose[:, R_ELBOW, 1] = 0.2
+    if varied:
+        pose[:, L_SHOULDER, 2] = -rng.uniform(0.7, 1.45)
+        pose[:, R_SHOULDER, 2] = rng.uniform(0.7, 1.45)
+        pose[:, L_ELBOW, 1] = -rng.uniform(0.1, 1.3)
+        pose[:, R_ELBOW, 1] = rng.uniform(0.1, 1.3)
+        pose[:, L_SHOULDER, 0] = rng.uniform(-0.4, 0.2)
+        pose[:, R_SHOULDER, 0] = rng.uniform(-0.4, 0.2)
+        pose[:, SPINE1, 0] = rng.uniform(-0.1, 0.25)
+        pose[:, HEAD, 2] = rng.uniform(-0.3, 0.3)
+    else:
+        pose[:, L_SHOULDER, 2] = -1.25
+        pose[:, R_SHOULDER, 2] = 1.25
+        pose[:, L_ELBOW, 1] = -0.2
+        pose[:, R_ELBOW, 1] = 0.2
     sway = _ou_process(rng, T, theta=0.02, sigma=0.004)
-    pose[:, SPINE1, 0] = sway
+    pose[:, SPINE1, 0] = pose[:, SPINE1, 0] + sway
     pose[:, HEAD, 1] = _ou_process(rng, T, theta=0.02, sigma=0.006)
     speed = np.zeros(T, np.float32)
     return pose, speed, np.zeros(T, np.float32)
+
+
+def _march_pose(rng, T, fps=30.0):
+    """Marching / stepping IN PLACE: alternating knee lifts with zero
+    root translation. Breaks the false invariant "legs swing => the
+    root translates" that pure locomotion data teaches — the measured
+    1.9 m phantom walk on a stationary sequence (RESULTS.md) is exactly
+    that shortcut. Kinematic signature differs from walking: hips flex
+    only FORWARD (knee lift, max(0,.)), no fore-aft swing."""
+    f = rng.uniform(0.8, 2.0)
+    phi = 2 * np.pi * f * np.arange(T) / fps + rng.uniform(0, 2 * np.pi)
+    lift = rng.uniform(0.5, 1.1)
+    pose = np.zeros((T, 24, 3), np.float32)
+    s = np.sin(phi)
+    pose[:, L_HIP, 0] = lift * np.maximum(0.0, s)
+    pose[:, R_HIP, 0] = lift * np.maximum(0.0, -s)
+    pose[:, L_KNEE, 0] = 1.3 * lift * np.maximum(0.0, s)
+    pose[:, R_KNEE, 0] = 1.3 * lift * np.maximum(0.0, -s)
+    pose[:, L_SHOULDER, 2] = -1.2
+    pose[:, R_SHOULDER, 2] = 1.2
+    pose[:, L_SHOULDER, 0] = -0.3 * lift * s
+    pose[:, R_SHOULDER, 0] = 0.3 * lift * s
+    pose[:, L_ELBOW, 1] = -0.6
+    pose[:, R_ELBOW, 1] = 0.6
+    speed = np.zeros(T, np.float32)
+    bob = 0.02 * lift * np.abs(s)
+    return pose, speed, bob.astype(np.float32)
+
+
+def _strafe_pose(rng, T, fps=30.0):
+    """Side-stepping: hip ab/adduction oscillation, lateral translation
+    at 90 deg to facing. Decorrelates velocity DIRECTION from heading
+    (all other families move along facing), and its speed is coupled to
+    the abduction amplitude like the gait families."""
+    f = rng.uniform(0.6, 1.2)
+    phi = 2 * np.pi * f * np.arange(T) / fps + rng.uniform(0, 2 * np.pi)
+    a_ab = rng.uniform(0.15, 0.35)              # hip abduction amplitude
+    side = 1.0 if rng.uniform() < 0.5 else -1.0
+    pose = np.zeros((T, 24, 3), np.float32)
+    s = np.sin(phi)
+    # legs swing laterally (z-axis for hips ~ ab/adduction), slight knee
+    pose[:, L_HIP, 2] = -side * a_ab * (1 + s) / 2
+    pose[:, R_HIP, 2] = -side * a_ab * (1 - s) / 2
+    pose[:, L_KNEE, 0] = 0.25 * a_ab * np.maximum(0.0, s)
+    pose[:, R_KNEE, 0] = 0.25 * a_ab * np.maximum(0.0, -s)
+    pose[:, L_SHOULDER, 2] = -1.25
+    pose[:, R_SHOULDER, 2] = 1.25
+    pose[:, L_ELBOW, 1] = -0.3
+    pose[:, R_ELBOW, 1] = 0.3
+    speed = 2.0 * f * 2.0 * LEG_LEN * np.sin(a_ab) * rng.uniform(0.9, 1.1) \
+        * (1 + 0.1 * np.abs(s))
+    bob = 0.012 * np.sin(2 * phi)
+    drift = side * np.pi / 2                    # velocity 90 deg off facing
+    return pose, speed.astype(np.float32), bob.astype(np.float32), drift
+
+
+def _backstep_pose(rng, T, fps=30.0):
+    """Backward walking: velocity opposite facing, with a distinct
+    kinematic signature vs forward gait (shorter steps, knee flexes in
+    the OPPOSITE half-cycle, upright trunk) so the direction stays
+    readable from the pose."""
+    f = rng.uniform(0.6, 1.1)
+    phi = 2 * np.pi * f * np.arange(T) / fps + rng.uniform(0, 2 * np.pi)
+    a_hip = rng.uniform(0.15, 0.3)              # shorter steps than forward
+    pose = np.zeros((T, 24, 3), np.float32)
+    s, c = np.sin(phi), np.cos(phi)
+    pose[:, L_HIP, 0] = a_hip * s
+    pose[:, R_HIP, 0] = -a_hip * s
+    # knees flex during the BACKWARD reach (sign-flipped vs forward gait)
+    pose[:, L_KNEE, 0] = 0.9 * a_hip * np.maximum(0.0, -c)
+    pose[:, R_KNEE, 0] = 0.9 * a_hip * np.maximum(0.0, c)
+    pose[:, L_ANKLE, 0] = 0.4 * a_hip * s
+    pose[:, R_ANKLE, 0] = -0.4 * a_hip * s
+    pose[:, L_SHOULDER, 2] = -1.25
+    pose[:, R_SHOULDER, 2] = 1.25
+    pose[:, L_SHOULDER, 0] = -0.4 * a_hip * s
+    pose[:, R_SHOULDER, 0] = 0.4 * a_hip * s
+    pose[:, L_ELBOW, 1] = -0.3
+    pose[:, R_ELBOW, 1] = 0.3
+    speed = 2.0 * f * 2.0 * LEG_LEN * np.sin(a_hip) * rng.uniform(0.85, 1.0) \
+        * (1 + 0.08 * np.sin(2 * phi))
+    bob = 0.015 * np.sin(2 * phi)
+    return pose, speed.astype(np.float32), bob.astype(np.float32)
 
 
 def _run_pose(rng, T, fps=30.0):
@@ -148,7 +281,11 @@ def _run_pose(rng, T, fps=30.0):
     pose[:, R_SHOULDER, 0] = 0.7 * a_hip * s
     pose[:, L_ELBOW, 1] = -1.2
     pose[:, R_ELBOW, 1] = 1.2
-    speed = rng.uniform(2.2, 4.0) * (1 + 0.1 * np.sin(2 * phi))
+    # at running cadence the pure stride-geometry speed overshoots
+    # (peak hip amplitude != effective contact sweep); 0.55 calibrates
+    # to real 2-4.5 m/s running for f in [2,3], a_hip in [0.6,0.95]
+    speed = _gait_speed(rng, f, a_hip, flight=0.55) \
+        * (1 + 0.1 * np.sin(2 * phi))
     bob = 0.05 * np.sin(2 * phi)
     return pose, speed.astype(np.float32), bob.astype(np.float32)
 
@@ -195,9 +332,12 @@ def procedural_motions(num_seqs: int = 64, min_len: int = 120,
     for i in range(num_seqs):
         T = int(rng.integers(min_len, max_len + 1))
         kind = rng.choice(["walk", "walk", "walk", "turn", "idle",
-                           "run", "stopgo", "crouch", "gesture"])
+                           "run", "stopgo", "crouch", "gesture",
+                           "march", "strafe", "backstep", "circle"])
+        drift = 0.0  # velocity direction offset from facing (radians)
         if kind == "idle":
-            pose, speed, bob = _idle_pose(rng, T)
+            pose, speed, bob = _idle_pose(rng, T,
+                                          varied=rng.uniform() < 0.7)
             omega = _ou_process(rng, T, theta=0.05, sigma=0.002)
         elif kind == "crouch":
             pose, speed, bob = _crouch_pose(rng, T)
@@ -205,15 +345,38 @@ def procedural_motions(num_seqs: int = 64, min_len: int = 120,
         elif kind == "gesture":
             pose, speed, bob = _gesture_pose(rng, T, fps)
             omega = _ou_process(rng, T, theta=0.05, sigma=0.003)
+        elif kind == "march":
+            pose, speed, bob = _march_pose(rng, T, fps)
+            omega = _ou_process(rng, T, theta=0.05, sigma=0.004)
+        elif kind == "strafe":
+            pose, speed, bob, drift = _strafe_pose(rng, T, fps)
+            omega = _ou_process(rng, T, theta=0.05, sigma=0.004)
+        elif kind == "backstep":
+            pose, speed, bob = _backstep_pose(rng, T, fps)
+            drift = np.pi                       # velocity opposite facing
+            omega = _ou_process(rng, T, theta=0.04, sigma=0.008)
         elif kind == "run":
             pose, speed, bob = _run_pose(rng, T, fps)
             omega = _ou_process(rng, T, theta=0.03, sigma=0.01)
         else:
-            pose, speed, bob = _gait_pose(rng, T, fps)
+            # long-range speed diversity: slow accelerate/decelerate
+            # bouts, with pose amplitude tracking speed (see _gait_pose)
+            env = None
+            if kind == "walk" and rng.uniform() < 0.5:
+                g = _ou_process(rng, T, theta=0.01, sigma=0.015)
+                env = np.clip(1.0 + 3.0 * g, 0.35, 1.4).astype(np.float32)
+            pose, speed, bob = _gait_pose(rng, T, fps, envelope=env)
             if kind == "turn":
                 speed *= rng.uniform(0.0, 0.3)
                 omega = np.full(T, rng.uniform(-1.2, 1.2), np.float32) \
                     + _ou_process(rng, T, theta=0.05, sigma=0.01)
+            elif kind == "circle":
+                # sustained curved locomotion: constant-curvature path at
+                # full walking speed (turn-while-moving, not turn-in-place)
+                omega = np.full(T, rng.uniform(0.25, 1.0)
+                                * (1 if rng.uniform() < 0.5 else -1),
+                                np.float32) \
+                    + _ou_process(rng, T, theta=0.05, sigma=0.005)
             elif kind == "stopgo":
                 # walking with halts: speed gated by a smooth 0/1
                 # envelope; pose amplitude follows so the legs actually
@@ -233,8 +396,9 @@ def procedural_motions(num_seqs: int = 64, min_len: int = 120,
         pose[:, 1:] += _smooth_noise(rng, T, 23, 0.004)
 
         heading = rng.uniform(0, 2 * np.pi) + np.cumsum(omega) / fps
+        vdir = heading + drift
         dxy = (speed / fps)[:, None] * np.stack(
-            [np.cos(heading), np.sin(heading)], axis=-1)
+            [np.cos(vdir), np.sin(vdir)], axis=-1)
         xy = np.cumsum(dxy, axis=0) + rng.uniform(-2, 2, 2)
         z = rng.uniform(0.88, 0.96) + bob
         trans = np.concatenate([xy, z[:, None]], axis=-1).astype(np.float32)

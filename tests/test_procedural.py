@@ -65,6 +65,61 @@ def test_walk_direction_follows_heading():
     assert cos.min() > 0.95
 
 
+def test_speed_coupled_to_gait_amplitude():
+    """v3 generator: root speed is a deterministic function of stride
+    frequency x amplitude (plus small jitter), so pose -> velocity is
+    learnable — the phantom-walk fix (RESULTS.md ablation finding #2)."""
+    motions = procedural_motions(num_seqs=120, min_len=120, max_len=150,
+                                 seed=7)
+    walks = [m for m in motions if "proc_walk" in m["name"]]
+    assert len(walks) >= 10
+    # hip swing amplitude read back from the pose must predict speed
+    amp, spd = [], []
+    for m in walks:
+        pose = m["poses"].reshape(-1, 24, 3)
+        amp.append(np.abs(pose[:, 1, 0]).max())
+        step = np.diff(m["trans"][:, :2], axis=0)
+        spd.append(np.linalg.norm(step, axis=-1).mean() * 30.0)
+    r = np.corrcoef(amp, spd)[0, 1]
+    assert r > 0.6, f"speed decoupled from gait amplitude (r={r:.2f})"
+
+
+def test_march_steps_without_translating():
+    motions = procedural_motions(num_seqs=150, min_len=120, max_len=150,
+                                 seed=11)
+    marches = [m for m in motions if "march" in m["name"]]
+    assert marches
+    for m in marches:
+        pose = m["poses"].reshape(-1, 24, 3)
+        # legs genuinely move ...
+        assert np.ptp(pose[:, 4, 0]) > 0.5, "march knees do not lift"
+        # ... but the root does not translate
+        disp = np.linalg.norm(m["trans"][-1, :2] - m["trans"][0, :2])
+        assert disp < 0.2, f"march translated {disp:.2f} m"
+
+
+def test_strafe_and_backstep_velocity_off_facing():
+    """Velocity direction decorrelated from heading: strafe moves ~90 deg
+    off facing, backstep moves opposite facing."""
+    from scipy.spatial.transform import Rotation as R
+
+    motions = procedural_motions(num_seqs=150, min_len=120, max_len=150,
+                                 seed=13)
+    for want_kind, lo, hi in [("strafe", 60, 120), ("backstep", 150, 180)]:
+        seqs = [m for m in motions if want_kind in m["name"]]
+        assert seqs, f"no {want_kind} sequences sampled"
+        for m in seqs[:3]:
+            fwd = R.from_rotvec(m["poses"][:, :3]).apply([0, 0, 1.0])[:, :2]
+            step = np.diff(m["trans"][:, :2], axis=0)
+            spd = np.linalg.norm(step, axis=-1)
+            mask = spd > 1e-3
+            cos = (step[mask] * fwd[:-1][mask]).sum(-1) / (
+                spd[mask] * np.linalg.norm(fwd[:-1][mask], axis=-1))
+            ang = np.degrees(np.arccos(np.clip(np.median(cos), -1, 1)))
+            assert lo - 15 <= ang <= hi + 15, \
+                f"{m['name']}: velocity {ang:.0f} deg off facing"
+
+
 def test_amass_pipeline_with_fk():
     train, test, tjpos, sjpos = procedural_amass_data(
         num_seqs=8, min_len=90, max_len=120, seed=0)
