@@ -133,7 +133,7 @@ def load_detector(cfg_id: str = "kp_detector_demo", version: str = "last",
 
 
 def detect_video(frames: np.ndarray, model, params,
-                 score_thresh: float = 0.3, batch: int = 16) -> list:
+                 score_thresh: float = 0.2, batch: int = 16) -> list:
     """Per-frame multi-person 2D detection over a whole video.
 
     frames: (T, H, W, 3) uint8 or float [0,1]. Frames are letterboxed to
@@ -213,7 +213,7 @@ def filter_person_tracks(tracks: dict, min_kp_conf: float = 0.30,
 def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
                    detector=None, detector_params=None,
                    lifter=None, lifter_params=None, smpl=None,
-                   score_thresh: float = 0.3,
+                   score_thresh: float = 0.2,
                    min_kp_conf: float = 0.30, min_track_len: int = 15,
                    pose_est_dir: Optional[str] = None) -> dict:
     """Fully in-framework stage 1: video frames -> pose.pkl.
@@ -228,6 +228,12 @@ def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
 
     cam_K defaults to the reference's fixed-focal-1000 convention with the
     principal point at the image center (hybrik_demo/demo.py:175-199).
+
+    score_thresh 0.2 is the measured operating point of the hard-negative-
+    trained detector on the reference demo clips (benchmarks/
+    real_video_*.json): misses cannot be recovered downstream, while
+    transient false positives are absorbed by the tracker + the
+    keypoint-evidence person gate.
     """
     from .tracker import track_detections
 
