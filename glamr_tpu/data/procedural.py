@@ -362,12 +362,18 @@ def procedural_motions(num_seqs: int = 64, min_len: int = 120,
             # long-range speed diversity: slow accelerate/decelerate
             # bouts, with pose amplitude tracking speed (see _gait_pose)
             env = None
-            if kind == "walk" and rng.uniform() < 0.5:
+            if kind == "turn":
+                # turning in place: SMALL shuffle steps — pose amplitude
+                # scaled down consistently with the near-zero speed
+                # (a full-amplitude gait at zero speed would reintroduce
+                # the pose/speed contradiction this generator fixes; the
+                # r04 prior walked 7 m on a turn-in-place sequence)
+                env = np.full(T, rng.uniform(0.1, 0.35), np.float32)
+            elif kind == "walk" and rng.uniform() < 0.5:
                 g = _ou_process(rng, T, theta=0.01, sigma=0.015)
                 env = np.clip(1.0 + 3.0 * g, 0.35, 1.4).astype(np.float32)
             pose, speed, bob = _gait_pose(rng, T, fps, envelope=env)
             if kind == "turn":
-                speed *= rng.uniform(0.0, 0.3)
                 omega = np.full(T, rng.uniform(-1.2, 1.2), np.float32) \
                     + _ou_process(rng, T, theta=0.05, sigma=0.01)
             elif kind == "circle":
