@@ -133,13 +133,18 @@ def load_detector(cfg_id: str = "kp_detector_demo", version: str = "last",
 
 
 def detect_video(frames: np.ndarray, model, params,
-                 score_thresh: float = 0.2, batch: int = 16) -> list:
+                 score_thresh: float = 0.12, batch: int = 16) -> list:
     """Per-frame multi-person 2D detection over a whole video.
 
     frames: (T, H, W, 3) uint8 or float [0,1]. Frames are letterboxed to
     the detector's square input; keypoints are mapped back to original
     pixels. Returns a list of per-frame detection dicts (host numpy) for
     pose_est.tracker.track_detections.
+
+    The default threshold is a low RECALL FLOOR, not an operating point:
+    the two-stage tracker (tracker.GreedyTracker) only SPAWNS tracks
+    from detections above its spawn_score — floor-level detections can
+    merely extend an established track through weak frames.
     """
     import jax
     import jax.numpy as jnp
@@ -213,7 +218,7 @@ def filter_person_tracks(tracks: dict, min_kp_conf: float = 0.30,
 def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
                    detector=None, detector_params=None,
                    lifter=None, lifter_params=None, smpl=None,
-                   score_thresh: float = 0.2,
+                   score_thresh: float = 0.3, det_floor: float = 0.12,
                    min_kp_conf: float = 0.30, min_track_len: int = 15,
                    pose_est_dir: Optional[str] = None) -> dict:
     """Fully in-framework stage 1: video frames -> pose.pkl.
@@ -229,11 +234,14 @@ def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
     cam_K defaults to the reference's fixed-focal-1000 convention with the
     principal point at the image center (hybrik_demo/demo.py:175-199).
 
-    score_thresh 0.2 is the measured operating point of the hard-negative-
-    trained detector on the reference demo clips (benchmarks/
-    real_video_*.json): misses cannot be recovered downstream, while
-    transient false positives are absorbed by the tracker + the
-    keypoint-evidence person gate.
+    Two-threshold operating point, measured on the reference demo clips
+    (benchmarks/real_video_*.json): detections down to det_floor are
+    kept for RECALL (a person's weak frames extend their track), but
+    only detections >= score_thresh can SPAWN a track (two-stage
+    association, tracker.GreedyTracker) — so clutter below it cannot
+    create identities or fragment the dominant person. Misses cannot be
+    recovered downstream; the residual floor-level false positives are
+    absorbed by the keypoint-evidence person gate.
     """
     from .tracker import track_detections
 
@@ -247,10 +255,10 @@ def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
                          np.float32)
 
     dets = detect_video(frames, detector, detector_params,
-                        score_thresh=score_thresh)
-    tracks = filter_person_tracks(track_detections(dets),
-                                  min_kp_conf=min_kp_conf,
-                                  min_len=min_track_len)
+                        score_thresh=min(det_floor, score_thresh))
+    tracks = filter_person_tracks(
+        track_detections(dets, spawn_score=score_thresh),
+        min_kp_conf=min_kp_conf, min_len=min_track_len)
     return run_lifter_on_tracks(tracks, cam_K, T, model=lifter,
                                 params=lifter_params, smpl=smpl,
                                 pose_est_dir=pose_est_dir)

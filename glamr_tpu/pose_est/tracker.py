@@ -14,53 +14,82 @@ import numpy as np
 
 
 class GreedyTracker:
-    """Frame-by-frame greedy association by center distance.
+    """Frame-by-frame greedy association by center distance, two-stage.
+
+    Two-stage (ByteTrack-style) association: high-score detections
+    (score >= spawn_score) are matched to active tracks first and may
+    SPAWN new tracks; low-score detections are matched second, to the
+    tracks still unmatched, and may only EXTEND existing tracks — never
+    start one. This decouples recall (detect_video can run at a low
+    threshold so established tracks survive weak frames) from precision
+    (clutter below spawn_score cannot create identities, so the dominant
+    track is never fragmented by low-score false positives — the
+    measured failure when the raw threshold alone was lowered).
 
     max_dist: matching gate in pixels (scaled by image size / 128).
     max_miss: frames a track survives without a detection.
     min_len:  tracks shorter than this are dropped at finalize().
+    spawn_score: minimum detection score to START a new track.
     """
 
     def __init__(self, max_dist: float = 48.0, max_miss: int = 10,
-                 min_len: int = 5):
+                 min_len: int = 5, spawn_score: float = 0.3):
         self.max_dist = max_dist
         self.max_miss = max_miss
         self.min_len = min_len
+        self.spawn_score = spawn_score
         self._tracks: list[dict] = []
         self._next_id = 0
+
+    def _greedy_match(self, frame_idx, active, used_tr, det_ids, centers,
+                      kp_2d, kp_conf, scores, used_det):
+        """Greedy closest-pair matching of `active` tracks (not yet
+        used_tr) against detections det_ids (not yet used_det)."""
+        cand = [d for d in det_ids if not used_det[d]]
+        if not active or not cand:
+            return
+        tc = np.stack([t["last_center"] for t in active])       # (A, 2)
+        dist = np.linalg.norm(tc[:, None] - centers[None, cand], axis=-1)
+        local_used = np.zeros(len(cand), bool)
+        while True:
+            a, j = np.unravel_index(np.argmin(
+                np.where(used_tr[:, None] | local_used[None], np.inf, dist)
+            ), dist.shape)
+            if used_tr[a] or local_used[j] or dist[a, j] > self.max_dist:
+                break
+            d = cand[j]
+            t = active[a]
+            t["frames"].append(frame_idx)
+            t["kp_2d"].append(np.asarray(kp_2d[d], np.float32))
+            t["conf"].append(np.asarray(kp_conf[d], np.float32))
+            t["scores"].append(float(scores[d]))
+            t["last_center"] = centers[d]
+            t["last_frame"] = frame_idx
+            used_tr[a] = local_used[j] = used_det[d] = True
+            if used_tr.all() or local_used.all():
+                break
 
     def update(self, frame_idx: int, centers, kp_2d, kp_conf, scores):
         """centers (D, 2), kp_2d (D, K, 2), kp_conf (D, K), scores (D,) —
         valid detections of one frame."""
         centers = np.asarray(centers, np.float32)
+        scores = np.asarray(scores, np.float32)
         D = centers.shape[0]
         active = [t for t in self._tracks
                   if frame_idx - t["last_frame"] <= self.max_miss]
         used_det = np.zeros(D, bool)
+        used_tr = np.zeros(len(active), bool)
 
-        # greedy: repeatedly take the globally closest (track, det) pair
-        if active and D:
-            tc = np.stack([t["last_center"] for t in active])   # (A, 2)
-            dist = np.linalg.norm(tc[:, None] - centers[None], axis=-1)
-            used_tr = np.zeros(len(active), bool)
-            while True:
-                a, d = np.unravel_index(np.argmin(
-                    np.where(used_tr[:, None] | used_det[None], np.inf, dist)
-                ), dist.shape)
-                if used_tr[a] or used_det[d] or dist[a, d] > self.max_dist:
-                    break
-                t = active[a]
-                t["frames"].append(frame_idx)
-                t["kp_2d"].append(np.asarray(kp_2d[d], np.float32))
-                t["conf"].append(np.asarray(kp_conf[d], np.float32))
-                t["scores"].append(float(scores[d]))
-                t["last_center"] = centers[d]
-                t["last_frame"] = frame_idx
-                used_tr[a] = used_det[d] = True
-                if used_tr.all() or used_det.all():
-                    break
+        high = [d for d in range(D) if scores[d] >= self.spawn_score]
+        low = [d for d in range(D) if scores[d] < self.spawn_score]
+        # stage 1: confident detections against all active tracks
+        self._greedy_match(frame_idx, active, used_tr, high, centers,
+                           kp_2d, kp_conf, scores, used_det)
+        # stage 2: weak detections may extend still-unmatched tracks
+        self._greedy_match(frame_idx, active, used_tr, low, centers,
+                           kp_2d, kp_conf, scores, used_det)
 
-        for d in range(D):
+        for d in high:
             if used_det[d]:
                 continue
             self._tracks.append({

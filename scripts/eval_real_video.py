@@ -42,7 +42,9 @@ def parse_args():
     p.add_argument("--max_frames", type=int, default=240)
     p.add_argument("--stride", type=int, default=1,
                    help="frame subsampling stride")
-    p.add_argument("--score_thresh", type=float, default=0.3)
+    p.add_argument("--score_thresh", type=float, default=0.3,
+               help="track SPAWN threshold (two-stage tracker); "
+                    "detections are kept down to a 0.12 floor")
     p.add_argument("--detector_cfg", default="kp_detector_demo")
     p.add_argument("--out", default=None, help="metrics JSON path")
     p.add_argument("--out_dir", default="out/glamr_tpu/real_video_eval")
@@ -150,10 +152,14 @@ def main():
             entry["count_acc"] = float((counts == args.expect).mean())
         metrics["thresholds"][f"{th:.1f}"] = entry
 
+    # product-shaped tracking: validity floor for recall, spawn gate for
+    # precision (two-stage association, tracker.GreedyTracker)
+    floor = min(0.12, args.score_thresh)
     tracks = track_detections(
         [{k: (v if k != "valid" else
-              (v.astype(bool) & (d["scores"] >= args.score_thresh)))
-          for k, v in d.items()} for d in dets])
+              (v.astype(bool) & (d["scores"] >= floor)))
+          for k, v in d.items()} for d in dets],
+        spawn_score=args.score_thresh)
     lens = sorted((len(tr["frames"]) for tr in tracks.values()),
                   reverse=True)
     k = args.expect or min(len(lens), 2)

@@ -67,7 +67,7 @@ def eval_detector(model, params, dcfg, smpl, data, rng, num_imgs):
         out = fwd(jnp.asarray(s["images"][None]))
         det = decode_detections(
             {k: np.asarray(v) for k, v in out.items()}, dcfg,
-            score_thresh=0.3)
+            score_thresh=0.3)  # spawn-level: per-image detector quality at the track-spawn gate
         valid = det["valid"][0].astype(bool)
         det_kp = det["kp_2d"][0][valid]                  # (D, K, 2) pixels
         det_ctr = det["centers"][0][valid]               # (D, 2) x,y pixels
@@ -212,7 +212,7 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
     est = video_pose_est(frames, cam_K=K,
                          detector=det_model, detector_params=det_params,
                          lifter=lift_model, lifter_params=lift_params,
-                         smpl=smpl, score_thresh=0.25)
+                         smpl=smpl)
     if not est:
         return {"error": "no person track detected"}
     # single-person scene: score the dominant track (the GT dict has one

@@ -161,6 +161,33 @@ def test_tracker_crossing_tracks():
         assert (d > 0).all() or (d < 0).all()
 
 
+def test_tracker_two_stage_spawn_and_extend():
+    """Low-score detections EXTEND an established track through weak
+    frames but can never SPAWN a track (ByteTrack-style two-stage
+    association): a person whose score dips below spawn_score keeps one
+    unbroken identity, while persistent low-score clutter produces no
+    track at all."""
+    from glamr_tpu.pose_est.tracker import GreedyTracker
+
+    T, K = 30, 24
+    tr = GreedyTracker(max_dist=20.0, min_len=5, spawn_score=0.3)
+    for t in range(T):
+        # person walking right; score dips to 0.15 in the middle third
+        score_p = 0.8 if (t < 10 or t >= 20) else 0.15
+        centers = np.array([[10.0 + 3 * t, 50.0], [200.0, 200.0]],
+                           np.float32)
+        kp = np.tile(centers[:, None], (1, K, 1))
+        conf = np.ones((2, K), np.float32)
+        # clutter at a fixed spot scores 0.2 every frame: above a naive
+        # 0.12 floor, below the spawn gate
+        tr.update(t, centers, kp, conf, np.array([score_p, 0.2]))
+    tracks = tr.finalize()
+    assert len(tracks) == 1, f"clutter spawned a track: {len(tracks)}"
+    (only,) = tracks.values()
+    assert only["frames"].shape[0] == T, "weak frames broke the track"
+    assert (np.diff(only["kp_2d"][:, 0, 0]) > 0).all()
+
+
 def test_tracker_miss_tolerance_and_min_len():
     from glamr_tpu.pose_est.tracker import GreedyTracker
 
