@@ -210,11 +210,15 @@ def suppress_duplicate_tracks(tracks: dict, dup_dist: float = 96.0,
     A ghost has >= min_overlap co-detected frames with a stronger track
     and median keypoint-center distance < dup_dist px on those frames;
     stronger = higher (mean kp conf x length), the evidence ordering
-    filter_person_tracks gates on. The ghost's uniquely-detected frames
-    are ABSORBED into the keeper (coverage is preserved; identity is
-    unified). Two real people who merely cross are safe: the MEDIAN
-    over all co-detected frames stays large when they are apart most of
-    the time.
+    filter_person_tracks gates on. INTERLEAVED ghosts — detections that
+    alternate with the keeper's, so the two tracks barely co-occur
+    (measured on the basketball demo: a 37-frame ghost of the dribbler
+    sharing ONE co-detected frame) — are caught by a fallback test
+    against the keeper's centers INTERPOLATED at the ghost's frames.
+    The ghost's uniquely-detected frames are ABSORBED into the keeper
+    (coverage is preserved; identity is unified). Two real people who
+    merely cross are safe: the MEDIAN over the ghost's whole span stays
+    large when they are apart most of the time.
     """
     order = sorted(
         tracks.values(),
@@ -223,16 +227,26 @@ def suppress_duplicate_tracks(tracks: dict, dup_dist: float = 96.0,
     kept: list[dict] = []
     for tr in order:
         fr = {int(f): i for i, f in enumerate(tr["frames"])}
+        frames_t = np.asarray(tr["frames"], np.int64)
         ctr = np.asarray(tr["kp_2d"], np.float32).mean(axis=1)
         absorbed = False
         for ki, kt in enumerate(kept):
-            common = [(fr[int(f)], j) for j, f in enumerate(kt["frames"])
-                      if int(f) in fr]
-            if len(common) < min_overlap:
-                continue
-            ia, ib = map(list, zip(*common))
+            kfr = np.asarray(kt["frames"], np.int64)
             kctr = np.asarray(kt["kp_2d"], np.float32).mean(axis=1)
-            d = np.linalg.norm(ctr[ia] - kctr[ib], axis=-1)
+            common = [(fr[int(f)], j) for j, f in enumerate(kfr)
+                      if int(f) in fr]
+            if len(common) >= min_overlap:
+                ia, ib = map(list, zip(*common))
+                d = np.linalg.norm(ctr[ia] - kctr[ib], axis=-1)
+            else:
+                # interleaved-ghost fallback: compare the ghost's centers
+                # to the keeper's trajectory interpolated at those frames
+                inspan = (frames_t >= kfr[0]) & (frames_t <= kfr[-1])
+                if int(inspan.sum()) < min_overlap:
+                    continue
+                ik = np.stack([np.interp(frames_t[inspan], kfr, kctr[:, c])
+                               for c in range(2)], axis=-1)
+                d = np.linalg.norm(ctr[inspan] - ik, axis=-1)
             if float(np.median(d)) < dup_dist:
                 kept[ki] = _absorb_track(kt, tr)
                 absorbed = True

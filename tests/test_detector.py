@@ -323,6 +323,27 @@ def test_suppress_duplicate_tracks_absorbs_interleaved_fragments():
     assert kept[0]["kp_2d"].shape[0] == len(merged)     # rows aligned
 
 
+def test_suppress_duplicate_tracks_interpolation_fallback():
+    """A ghost whose detections NEVER co-occur with the keeper's (it
+    fires exactly on the keeper's missed frames — the measured v3
+    basketball demo ghost shared ONE frame of 37) is caught by the
+    interpolated-center fallback; a DISTANT sparse person inside the
+    keeper's span is not absorbed."""
+    from glamr_tpu.pose_est.tracker import suppress_duplicate_tracks
+
+    a = _frag([f for f in range(0, 300) if f % 4 != 2], (835, 527))
+    ghost = _frag([f for f in range(96, 196) if f % 4 == 2], (829, 525))
+    ghost["conf"] *= 0.8
+    far = _frag([f for f in range(50, 250) if f % 4 == 2], (200, 400))
+    kept = suppress_duplicate_tracks({0: a, 1: ghost, 2: far})
+    assert len(kept) == 2
+    lens = sorted(len(t["frames"]) for t in kept.values())
+    # ghost's 25 unique frames absorbed into the keeper
+    assert lens[1] == len(a["frames"]) + len(ghost["frames"])
+    # the far person survives untouched
+    assert lens[0] == len(far["frames"])
+
+
 def test_detect_video_shapes(tiny_cfg):
     """detect_video letterboxes arbitrary frame sizes and maps keypoints
     back to original pixels."""
