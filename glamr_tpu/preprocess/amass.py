@@ -130,9 +130,63 @@ def process_amass(motions: list, smpl=None, source_fps: float = 60.0,
     return train, test, train_jpos, test_jpos
 
 
+def read_raw_amass(folder: str, sequences: Optional[list] = None,
+                   target_fps: float = 30.0) -> list:
+    """Raw AMASS download layout -> motion dicts for process_amass.
+
+    Reference: preprocess/amass_utils.py:149 read_data / read_sequence —
+    the directory structure AMASS actually ships
+    (`<root>/<dataset>/<subject>/<action>.npz`, each npz carrying
+    'poses' (T,156 SMPL-H), 'trans' (T,3), 'betas', 'mocap_framerate';
+    '*shape.npz' files skipped). Like the reference, frames are
+    decimated with the integer stride `mocap_framerate // fps`
+    (NOT linear interpolation), so the emitted dicts carry
+    mocap_framerate == target_fps and process_amass's resampler is a
+    no-op on them. Sequences shorter than 60 frames after decimation
+    are dropped there; the same happens downstream via min_seq_len.
+    """
+    if sequences is None:
+        sequences = sorted(
+            d for d in os.listdir(folder)
+            if os.path.isdir(os.path.join(folder, d)))
+    motions = []
+    for seq_name in sequences:
+        seq_dir = os.path.join(folder, seq_name)
+        subjects = sorted(
+            s for s in os.listdir(seq_dir)
+            if os.path.isdir(os.path.join(seq_dir, s)))
+        for subject in subjects:
+            sub_dir = os.path.join(seq_dir, subject)
+            for action in sorted(os.listdir(sub_dir)):
+                if not action.endswith(".npz") or action.endswith("shape.npz"):
+                    continue
+                with np.load(os.path.join(sub_dir, action)) as data:
+                    if "poses" not in data or "mocap_framerate" not in data:
+                        continue  # metadata npz (e.g. neutral_stagei)
+                    fr = int(data["mocap_framerate"])
+                    stride = max(fr // int(target_fps), 1)
+                    motions.append({
+                        "name": f"{seq_name}_{subject}_{action[:-4]}",
+                        "poses": np.asarray(data["poses"][::stride],
+                                            np.float32),
+                        "trans": np.asarray(data["trans"][::stride],
+                                            np.float32),
+                        "betas": np.asarray(data["betas"], np.float32),
+                        "mocap_framerate": float(target_fps),
+                    })
+    return motions
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--motions_pkl", required=True)
+    parser.add_argument("--motions_pkl", default=None,
+                        help="consolidated motions pickle (list of dicts)")
+    parser.add_argument("--raw_dir", default=None,
+                        help="raw AMASS download root "
+                             "(<root>/<dataset>/<subject>/<action>.npz)")
+    parser.add_argument("--sequences", default=None,
+                        help="comma-separated dataset subdirs of --raw_dir "
+                             "(default: all)")
     parser.add_argument("--output_path", default="datasets/amass_processed/v1")
     parser.add_argument("--source_fps", type=float, default=60.0)
     parser.add_argument("--target_fps", type=float, default=30.0)
@@ -141,8 +195,15 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args(argv)
 
-    with open(args.motions_pkl, "rb") as f:
-        motions = pickle.load(f)
+    if bool(args.motions_pkl) == bool(args.raw_dir):
+        parser.error("exactly one of --motions_pkl / --raw_dir is required")
+    if args.raw_dir:
+        seqs = args.sequences.split(",") if args.sequences else None
+        motions = read_raw_amass(args.raw_dir, seqs,
+                                 target_fps=args.target_fps)
+    else:
+        with open(args.motions_pkl, "rb") as f:
+            motions = pickle.load(f)
     train, test, train_jpos, test_jpos = process_amass(
         motions, source_fps=args.source_fps, target_fps=args.target_fps,
         min_seq_len=args.min_seq_len, train_ratio=args.train_ratio,

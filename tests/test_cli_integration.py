@@ -449,3 +449,151 @@ def test_run_and_eval_dataset_h36m(tmp_path, monkeypatch):
     assert np.isfinite(m["PA-MPJPE"].avg)
     assert np.isfinite(m["G-MPJPE"].avg)
     assert np.isfinite(m["PA-MPJPE-invis"].avg)  # occluded frames scored
+
+
+# pure-numpy stub standing in for HybrIK's pose_est/hybrik_demo/demo.py:
+# parses the bridge's arg protocol, reads the extracted frames, emits a
+# schema-valid pose.pkl, and appends to calls.txt so the test can count
+# subprocess invocations (cache behavior).
+_FAKE_HYBRIK_DEMO = '''
+import argparse, os, pickle
+import numpy as np
+
+p = argparse.ArgumentParser()
+p.add_argument("--img_dir", required=True)
+p.add_argument("--out_dir", required=True)
+p.add_argument("--bbox_file", default=None)
+p.add_argument("--multi", action="store_true")
+a = p.parse_args()
+
+frames = sorted(f for f in os.listdir(a.img_dir)
+                if f.lower().endswith((".jpg", ".png")))
+T = len(frames)
+assert T > 0, "bridge must extract frames before invoking HybrIK"
+
+def rodrigues(aa):
+    th = np.linalg.norm(aa)
+    k = aa / max(th, 1e-8)
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+rot = np.tile(np.eye(3, dtype=np.float32), (T, 24, 1, 1))
+rot[:, 0] = rodrigues(np.array([1.2092, 1.2092, 1.2092])).astype(np.float32)
+K = np.array([[1000.0, 0, 480], [0, 1000.0, 270], [0, 0, 1]], np.float32)
+rng = np.random.default_rng(0)
+kp = (np.array([480.0, 270.0]) +
+      rng.normal(0, 40, (T, 24, 2))).astype(np.float32)
+est = {0: {
+    "smpl_pose_quat_wroot": rot,
+    "smpl_beta": np.zeros((T, 10), np.float32),
+    "root_trans": np.tile(np.array([0, 0.1, 3.5], np.float32), (T, 1)),
+    "kp_2d": kp,
+    "cam_K": np.tile(K, (T, 1, 1)),
+    "frames": np.arange(T),
+    "frame2ind": {int(f): i for i, f in enumerate(np.arange(T))},
+    "bboxes_dict": {"exist": np.ones(T, np.float32)},
+}}
+os.makedirs(a.out_dir, exist_ok=True)
+with open(os.path.join(a.out_dir, "pose.pkl"), "wb") as f:
+    pickle.dump(est, f)
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "..", "calls.txt"), "a") as f:
+    f.write(f"{a.img_dir} multi={a.multi}\\n")
+'''
+
+
+def _install_fake_hybrik(root, monkeypatch):
+    """Stub 'HybrIK checkout': the demo script the bridge launches, at the
+    path the reference hard-codes (pose_est/hybrik_demo/demo.py)."""
+    import sys
+
+    demo_dir = root / "pose_est" / "hybrik_demo"
+    demo_dir.mkdir(parents=True)
+    (demo_dir / "demo.py").write_text(_FAKE_HYBRIK_DEMO)
+    (demo_dir / "demo_dataset.py").write_text(_FAKE_HYBRIK_DEMO)
+    monkeypatch.setenv("HYBRIK_PYTHON", sys.executable)
+    monkeypatch.setenv("HYBRIK_DIR", str(root))
+    return root / "calls.txt"
+
+
+@pytest.mark.slow
+def test_hybrik_bridge_subprocess(tmp_path, monkeypatch):
+    """Live-fire of the HybrIK subprocess bridge (pose_est/bridge.py):
+    env resolution (HYBRIK_PYTHON/HYBRIK_DIR), frame extraction, cwd and
+    arg protocol, pose.pkl schema validation, and caching — against a
+    stub HybrIK install (reference: pose_est/run_pose_est_demo.py:12-28,
+    which shells out to a conda env the same way)."""
+    from glamr_tpu.pose_est import load_pose_pkl, run_pose_est_on_video
+    from glamr_tpu.pose_est.bridge import run_pose_est_on_video as bridge_fn
+    from glamr_tpu.vis.video import frames_to_video
+
+    # 12-frame tiny video for the bridge to decompose
+    T = 12
+    frames = (np.random.default_rng(0).integers(0, 255, (T, 64, 96, 3))
+              .astype(np.uint8))
+    video = str(tmp_path / "clip.mp4")
+    frames_to_video(frames, video, fps=10)
+
+    calls = _install_fake_hybrik(tmp_path / "fake_hybrik", monkeypatch)
+    pe_dir = tmp_path / "pose_est_out"
+    img_dir = pe_dir / "frames"
+
+    pkl = run_pose_est_on_video(video, str(img_dir), str(pe_dir))
+    assert os.path.isfile(pkl)
+    est = load_pose_pkl(pkl)  # schema validation
+    assert est[0]["smpl_pose_quat_wroot"].shape == (T, 24, 3, 3)
+    n_imgs = len([f for f in os.listdir(img_dir) if f.endswith(".jpg")])
+    assert n_imgs == T, "bridge must extract every frame"
+    assert calls.read_text().count("\n") == 1
+
+    # cache hit: pose.pkl exists -> no second subprocess launch
+    pkl2 = run_pose_est_on_video(video, str(img_dir), str(pe_dir))
+    assert pkl2 == pkl and calls.read_text().count("\n") == 1
+
+    # cached=False forces a re-run (bbox_file selects demo_dataset.py)
+    bbox = tmp_path / "bboxes.pkl"
+    bbox.write_bytes(pickle.dumps({}))
+    run_pose_est_on_video(video, str(img_dir), str(pe_dir), cached=False,
+                          bbox_file=str(bbox), multi=True)
+    lines = calls.read_text().strip().splitlines()
+    assert len(lines) == 2 and "multi=True" in lines[1]
+    assert bridge_fn is run_pose_est_on_video  # package re-export intact
+
+
+@pytest.mark.slow
+def test_run_demo_via_hybrik_bridge(tmp_path, monkeypatch):
+    """run_demo driven end-to-end through the subprocess bridge (no
+    --synthetic_pose_est / --detect / --kp_file): video -> stub HybrIK ->
+    pose.pkl -> global recon. Covers the one stage-1 entry path the other
+    CLI tests never fire (reference flow: global_recon/run_demo.py
+    calling run_pose_est_on_video)."""
+    monkeypatch.chdir(tmp_path)
+    import yaml
+
+    from glamr_tpu.cli import run_demo
+    from glamr_tpu.utils import Config
+    from glamr_tpu.vis.video import frames_to_video
+
+    T = 10
+    frames = (np.random.default_rng(1).integers(0, 255, (T, 64, 96, 3))
+              .astype(np.uint8))
+    video = str(tmp_path / "bridgeclip.mp4")
+    frames_to_video(frames, video, fps=10)
+    _install_fake_hybrik(tmp_path / "fake_hybrik", monkeypatch)
+
+    cfg = Config("glamr_static")
+    for ss in cfg.opt_stage_specs.values():
+        ss["opt_niters"] = 2
+    cfg_file = tmp_path / "tiny_bridge.yml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.yml_dict, f)
+
+    outs = run_demo.main([
+        "--cfg", str(cfg_file), "--video_path", video,
+        "--out_dir", str(tmp_path / "demo_out"), "--vis", "0",
+    ])
+    out = outs[1]
+    rt = np.asarray(out["person_data"][0]["root_trans_world"])
+    assert rt.shape[0] == T and np.isfinite(rt).all()
+    assert (tmp_path / "demo_out" / "pose_est" / "bridgeclip" /
+            "pose.pkl").exists()

@@ -52,6 +52,51 @@ class TestAMASS:
         # shaped and unshaped joints differ (betas nonzero)
         assert np.abs(jp - jp_ns).max() > 1e-4
 
+    def test_read_raw_amass(self, tmp_path):
+        """Raw-npz ingestion (reference amass_utils.py:149 read_data):
+        <root>/<dataset>/<subject>/<action>.npz with SMPL-H poses at
+        mocap_framerate, shape.npz files skipped, integer-stride
+        decimation to 30 fps; output feeds process_amass unchanged."""
+        from glamr_tpu.preprocess.amass import read_raw_amass
+
+        rng = np.random.default_rng(1)
+        root = tmp_path / "amass_raw"
+        for ds, subj, n_act in [("CMU", "01", 2), ("CMU", "02", 1),
+                                ("BMLmovi", "s1", 1)]:
+            d = root / ds / subj
+            d.mkdir(parents=True, exist_ok=True)
+            for k in range(n_act):
+                T = 240 + 60 * k
+                np.savez(d / f"act{k}_poses.npz",
+                         poses=rng.normal(0, 0.1, (T, 156)).astype(np.float32),
+                         trans=rng.normal(0, 0.1, (T, 3)).astype(np.float32),
+                         betas=rng.normal(0, 0.3, (16,)).astype(np.float32),
+                         mocap_framerate=np.float64(60.0))
+            np.savez(d / "shape.npz", betas=np.zeros(16))  # must be skipped
+            np.savez(d / "meta_poses.npz", gender="male")  # no poses: skipped
+
+        motions = read_raw_amass(str(root))
+        assert len(motions) == 4
+        names = sorted(m["name"] for m in motions)
+        assert names[0] == "BMLmovi_s1_act0_poses"
+        m0 = next(m for m in motions if m["name"] == "CMU_01_act0_poses")
+        # 240 frames @60 fps -> stride 2 -> 120 frames @30
+        assert m0["poses"].shape == (120, 156)
+        assert m0["trans"].shape == (120, 3)
+        assert m0["mocap_framerate"] == 30.0
+
+        # --sequences filter selects dataset subdirs
+        only = read_raw_amass(str(root), sequences=["BMLmovi"])
+        assert [m["name"] for m in only] == ["BMLmovi_s1_act0_poses"]
+
+        # feeds process_amass directly (no double resampling: already 30)
+        smpl = get_smpl("body26fk", synthetic=True)
+        train, test, tj, sj = process_amass(motions, smpl=smpl,
+                                            train_ratio=0.75)
+        assert len(train) + len(test) == 4
+        theta = dict(train, **test)["CMU_01_act0_poses"]
+        assert theta.shape == (120, 85)
+
 
 def make_fake_3dpw_seq(tmp_path, T=12, persons=2):
     rng = np.random.default_rng(0)
