@@ -52,6 +52,10 @@ def main(argv=None):
     parser.add_argument("--seeds", default="1")
     parser.add_argument("--sequences", default=None,
                         help="comma-separated subset; default = full test set")
+    parser.add_argument("--data_root", default=None,
+                        help="dataset root override (default: the "
+                             "conventional datasets/ layout, see "
+                             "DATASET_DIRS)")
     parser.add_argument("--cached", type=int, default=1)
     parser.add_argument("--batch_sequences", type=int, default=0,
                         help="batch this many sequences (same person count, "
@@ -91,7 +95,9 @@ def main(argv=None):
     seeds = [int(s) for s in str(args.seeds).split(",")]
     seqs = (args.sequences.split(",") if args.sequences
             else TEST_SEQUENCES[args.dataset])
-    dirs = DATASET_DIRS[args.dataset]
+    dirs = dict(DATASET_DIRS[args.dataset])
+    if args.data_root:
+        dirs["root"] = args.data_root
 
     joint_model = None
     specs = cfg.get("grecon_model_specs", {})

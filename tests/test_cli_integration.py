@@ -597,3 +597,90 @@ def test_run_demo_via_hybrik_bridge(tmp_path, monkeypatch):
     assert rt.shape[0] == T and np.isfinite(rt).all()
     assert (tmp_path / "demo_out" / "pose_est" / "bridgeclip" /
             "pose.pkl").exists()
+
+
+@pytest.mark.slow
+def test_real_data_pipeline_smoke(tmp_path, monkeypatch):
+    """The executable real-data runbook (scripts/real_data_pipeline.py)
+    against fabricated stand-in assets: raw AMASS npz tree + raw 3DPW
+    sequenceFiles + fabricated reference Lightning ckpts -> preprocess,
+    port, release-freeze, recon sweep, eval — one unattended command, so
+    day-one real-asset onboarding needs no new code (runbook sections
+    1-5)."""
+    import sys
+
+    torch = pytest.importorskip("torch")
+    _here = os.path.dirname(os.path.abspath(__file__))
+    for _p in (_here, os.path.join(os.path.dirname(_here), "scripts")):
+        if _p not in sys.path:
+            sys.path.insert(0, _p)
+    from refutil import ensure_ref
+
+    if not ensure_ref():
+        pytest.skip("reference not available")
+    from test_port_cli import RefCfg, fabricate_lightning_ckpt
+    from test_preprocess import make_fake_3dpw_seq
+
+    import real_data_pipeline
+
+    rng = np.random.default_rng(0)
+
+    # raw 3DPW (official sequenceFiles layout)
+    tdpw_root = make_fake_3dpw_seq(tmp_path / "3dpw_raw", T=12, persons=2)
+
+    # raw AMASS npz tree
+    amass_root = tmp_path / "amass_raw" / "CMU" / "01"
+    amass_root.mkdir(parents=True)
+    np.savez(amass_root / "walk_poses.npz",
+             poses=rng.normal(0, 0.1, (240, 156)).astype(np.float32),
+             trans=rng.normal(0, 0.1, (240, 3)).astype(np.float32),
+             betas=rng.normal(0, 0.3, (16,)).astype(np.float32),
+             mocap_framerate=np.float64(60.0))
+
+    monkeypatch.chdir(tmp_path)
+    # fabricated reference release ckpts (reference TrajPredVAE reads
+    # data/J_regressor_extra.npy relative to CWD at construction)
+    os.makedirs("data", exist_ok=True)
+    np.save("data/J_regressor_extra.npy", np.zeros((9, 24), np.float32))
+    from motion_infiller.models.motion_infiller_vae import (
+        MotionInfillerVAE as RefMF,
+    )
+    from traj_pred.models.traj_pred_vae import TrajPredVAE as RefTP
+
+    torch.manual_seed(7)
+    mf_ckpt = str(tmp_path / "model-mf.ckpt")
+    tp_ckpt = str(tmp_path / "model-tp.ckpt")
+    fabricate_lightning_ckpt(RefMF(RefCfg(
+        "/root/reference/motion_infiller/cfg/motion_infiller_demo.yml"
+    )).eval(), mf_ckpt)
+    fabricate_lightning_ckpt(RefTP(RefCfg(
+        "/root/reference/traj_pred/cfg/traj_pred_demo.yml")).eval(), tp_ckpt)
+
+    # pre-place a schema-valid pose estimate so the sweep needs no HybrIK
+    from glamr_tpu.pose_est import synthetic_pose_est
+
+    pe_dir = tmp_path / "sweep_out" / "3dpw" / "pose_est" / "test_seq_00"
+    synthetic_pose_est(12, num_persons=2, pose_est_dir=str(pe_dir))
+
+    summary = real_data_pipeline.main([
+        "--threedpw_dir", tdpw_root,
+        "--amass_raw_dir", str(tmp_path / "amass_raw"),
+        "--mf_ckpt", mf_ckpt, "--tp_ckpt", tp_ckpt,
+        "--results_out", str(tmp_path / "sweep_out"),
+        "--sequences", "test_seq_00", "--seeds", "1", "--opt_niters", "2",
+        "--out", str(tmp_path / "summary.json"),
+    ])
+
+    assert set(summary["stages_run"]) >= {"amass", "threedpw", "port",
+                                          "sweep"}
+    # preprocessed artifacts at the conventional paths
+    assert os.path.isfile("datasets/amass_processed/v1/amass_train.pkl")
+    assert os.path.isfile("datasets/3DPW/processed_v1/pose/test_seq_00.pkl")
+    # ported + frozen release params
+    assert os.path.isfile("checkpoints/motion_infiller_demo.params.pkl")
+    assert os.path.isfile("checkpoints/traj_pred_demo.params.pkl")
+    # sweep produced finite metrics
+    m = summary["sweep"]["3dpw"]["metrics"]
+    assert np.isfinite(m["PA-MPJPE"]["avg"]) and m["PA-MPJPE"]["count"] > 0
+    assert np.isfinite(m["G-MPJPE"]["avg"])
+    assert os.path.isfile(str(tmp_path / "summary.json"))
