@@ -50,9 +50,59 @@ def load_lifter(cfg_id: str = "kp_lifter_demo", version: str = "last",
     return model, params, cfg
 
 
+def smooth_root_depth(root: np.ndarray, conf: Optional[np.ndarray] = None,
+                      lam: float = 25.0) -> np.ndarray:
+    """Temporal bundling of per-frame monocular root depth.
+
+    The lifter's depth head is anchored per frame to the visible-keypoint
+    spread (lifter.py depth_prior); that anchor wobbles when the spread
+    changes with POSE rather than depth (crouch/gesture — the measured
+    residual failure mode), so consecutive frames disagree by ~10 cm and
+    the error walks over long tracks. The person's true depth is smooth
+    (bounded velocity), so bundle the whole track: minimize
+
+        sum_t w_t (z_t - z_t^pred)^2  +  lam * sum_t (z_{t+1} - z_t)^2
+
+    in LOG depth (scale-relative, like the head's anchor), a tridiagonal
+    least squares solved in closed form. The camera RAY of each frame is
+    preserved — x, y are rescaled by the depth correction — because the
+    2D evidence pins the ray; depth is the only weakly-observed
+    dimension. Reference analog: HybrIK pins absolute depth to the
+    bbox-scale cue once per frame (hybrik_demo/demo.py:175-199); with a
+    whole track available the anchors can be fused instead of trusted
+    frame by frame.
+
+    root: (T, 3) camera-frame root positions (z > 0 forward).
+    conf: (T, K) keypoint confidences -> per-frame data weights.
+    lam:  smoothness weight; at 30 fps, lam=25 passes real approach
+          motion (~1.5 m/s) while averaging ~2 s of anchor noise.
+    """
+    root = np.asarray(root, np.float32)
+    T = root.shape[0]
+    if T < 3:
+        return root
+    z = np.clip(root[:, 2], 1e-3, None)
+    logz = np.log(z)
+    w = np.ones(T, np.float32)
+    if conf is not None:
+        c = np.asarray(conf, np.float32).mean(axis=-1)
+        w = np.clip(c / max(float(c.mean()), 1e-6), 0.05, 4.0)
+    # (diag(w) + lam * L) x = w * logz, L = second-difference Laplacian
+    A = np.diag(w.astype(np.float64))
+    i = np.arange(T - 1)
+    A[i, i] += lam
+    A[i + 1, i + 1] += lam
+    A[i, i + 1] -= lam
+    A[i + 1, i] -= lam
+    logz_s = np.linalg.solve(A, (w * logz).astype(np.float64))
+    scale = np.exp(logz_s).astype(np.float32) / z
+    return root * scale[:, None]
+
+
 def lifter_pose_est(kp_2d: np.ndarray, cam_K: np.ndarray,
                     model, params, smpl=None,
-                    conf: Optional[np.ndarray] = None) -> dict:
+                    conf: Optional[np.ndarray] = None,
+                    depth_smooth_lam: Optional[float] = 25.0) -> dict:
     """Estimate SMPL pose for ONE person track.
 
     kp_2d: (Tv, K, 2) pixel keypoints (SMPL 24-joint order)
@@ -82,6 +132,8 @@ def lifter_pose_est(kp_2d: np.ndarray, cam_K: np.ndarray,
                       jnp.asarray(vis[None]))
     jpos = out["jpos_rel"][0]                       # (Tv, 24, 3)
     root = np.asarray(out["root_trans"][0])         # (Tv, 3)
+    if depth_smooth_lam:
+        root = smooth_root_depth(root, conf=conf, lam=depth_smooth_lam)
     tw = out["twist"][0]                            # (Tv, NT, 2)
     betas = jnp.broadcast_to(out["betas"], (Tv, 10))
 
@@ -218,7 +270,7 @@ def filter_person_tracks(tracks: dict, min_kp_conf: float = 0.30,
 def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
                    detector=None, detector_params=None,
                    lifter=None, lifter_params=None, smpl=None,
-                   score_thresh: float = 0.3, det_floor: float = 0.12,
+                   score_thresh: float = 0.3, det_floor: float = 0.05,
                    min_kp_conf: float = 0.30, min_track_len: int = 15,
                    pose_est_dir: Optional[str] = None) -> dict:
     """Fully in-framework stage 1: video frames -> pose.pkl.
@@ -241,7 +293,11 @@ def video_pose_est(frames: np.ndarray, cam_K: Optional[np.ndarray] = None,
     association, tracker.GreedyTracker) — so clutter below it cannot
     create identities or fragment the dominant person. Misses cannot be
     recovered downstream; the residual floor-level false positives are
-    absorbed by the keypoint-evidence person gate.
+    absorbed by the keypoint-evidence person gate. det_floor=0.05 is the
+    measured point where both demo clips reach per-frame track coverage
+    >= 0.98 with exactly the expected identities (floor sweep in
+    benchmarks/real_video_*.json "product" block; lowering it further
+    changes nothing because detect_video decodes at 0.05).
     """
     from .tracker import track_detections
 

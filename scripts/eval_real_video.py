@@ -154,7 +154,12 @@ def main():
 
     # product-shaped tracking: validity floor for recall, spawn gate for
     # precision (two-stage association, tracker.GreedyTracker)
-    floor = min(0.12, args.score_thresh)
+    import inspect
+
+    from glamr_tpu.pose_est.estimator import filter_person_tracks, video_pose_est
+
+    floor = min(inspect.signature(video_pose_est)
+                .parameters["det_floor"].default, args.score_thresh)
     tracks = track_detections(
         [{k: (v if k != "valid" else
               (v.astype(bool) & (d["scores"] >= floor)))
@@ -168,7 +173,31 @@ def main():
         "track_lengths": lens[:8],
         f"top{k}_coverage": float(sum(lens[:k]) / (k * T)) if lens else 0.0,
         "score_thresh": args.score_thresh,
+        "det_floor": floor,
     }
+
+    # the PRODUCT operating point: what run_demo --detect actually emits
+    # (video_pose_est = two-stage tracking + keypoint-evidence person
+    # gate). det_rate/count here are per-frame over FILTERED tracks —
+    # the identities the recon optimizer will see.
+    filt = filter_person_tracks(tracks)
+    cover = np.zeros((max(len(filt), 1), T), bool)
+    for i, tr in enumerate(filt.values()):
+        cover[i, np.asarray(tr["frames"], np.int64)] = True
+    counts_tr = cover.sum(axis=0)
+    flens = sorted((len(tr["frames"]) for tr in filt.values()), reverse=True)
+    metrics["product"] = {
+        "num_person_tracks": len(filt),
+        "track_lengths": flens[:8],
+        f"top{k}_coverage": (float(sum(flens[:k]) / (k * T))
+                             if flens else 0.0),
+        "det_rate": float((counts_tr > 0).mean()),
+        "mean_kp_conf": [round(float(np.asarray(tr["conf"]).mean()), 3)
+                         for tr in filt.values()],
+    }
+    if args.expect is not None:
+        metrics["product"]["count_acc"] = float(
+            (counts_tr == args.expect).mean())
     if args.expect is not None:
         metrics["expected_persons"] = args.expect
 

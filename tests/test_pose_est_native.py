@@ -162,3 +162,83 @@ class TestLifter:
         assert est[1]["smpl_pose_quat_wroot"].shape == (Tv, 24, 3, 3)
         assert est[1]["root_trans"].shape == (Tv, 3)
         assert np.isfinite(est[1]["smpl_pose_quat_wroot"]).all()
+
+
+class TestDepthSmoother:
+    """Temporal depth bundling (estimator.smooth_root_depth): the
+    monocular-depth random walk over long tracks is the measured e2e
+    G-MPJPE driver (benchmarks/stage1_metrics.json)."""
+
+    def _ray_points(self, z, rng, T):
+        # smooth lateral path; ray direction varies per frame
+        x = np.cumsum(rng.normal(0, 0.005, T)).astype(np.float32)
+        y = 0.1 + 0.02 * np.sin(np.arange(T) / 9.0)
+        return np.stack([x, y.astype(np.float32), z], -1)
+
+    def test_noise_suppressed_ray_preserved(self):
+        from glamr_tpu.pose_est.estimator import smooth_root_depth
+
+        rng = np.random.default_rng(0)
+        T = 240
+        z_gt = 3.5 + 0.3 * np.sin(np.arange(T) / 40.0)  # slow true motion
+        gt = self._ray_points(z_gt.astype(np.float32), rng, T)
+        noisy = gt * (1 + rng.normal(0, 0.04, (T, 1))).astype(np.float32)
+
+        sm = smooth_root_depth(noisy)
+        err_in = np.abs(noisy[:, 2] - gt[:, 2]).mean()
+        err_out = np.abs(sm[:, 2] - gt[:, 2]).mean()
+        assert err_out < 0.5 * err_in, (err_in, err_out)
+        # camera ray of every frame is preserved exactly
+        np.testing.assert_allclose(sm[:, 0] / sm[:, 2],
+                                   noisy[:, 0] / noisy[:, 2], rtol=1e-5)
+        np.testing.assert_allclose(sm[:, 1] / sm[:, 2],
+                                   noisy[:, 1] / noisy[:, 2], rtol=1e-5)
+
+    def test_constant_depth_fixed_point(self):
+        from glamr_tpu.pose_est.estimator import smooth_root_depth
+
+        rng = np.random.default_rng(1)
+        gt = self._ray_points(np.full(100, 4.2, np.float32), rng, 100)
+        sm = smooth_root_depth(gt)
+        np.testing.assert_allclose(sm, gt, atol=1e-4)
+
+    def test_real_approach_motion_passes(self):
+        # a person walking toward the camera (1.5 m/s at 30 fps) must not
+        # be flattened by the smoother
+        from glamr_tpu.pose_est.estimator import smooth_root_depth
+
+        rng = np.random.default_rng(2)
+        T = 90
+        z = (6.0 - 0.05 * np.arange(T)).astype(np.float32)  # 6 m -> 1.5 m
+        gt = self._ray_points(z, rng, T)
+        sm = smooth_root_depth(gt)
+        # interior tracks the ramp closely (endpoints may lag slightly)
+        sl = slice(10, -10)
+        assert np.abs(sm[sl, 2] - gt[sl, 2]).max() < 0.08
+
+    def test_low_conf_frames_downweighted(self):
+        from glamr_tpu.pose_est.estimator import smooth_root_depth
+
+        rng = np.random.default_rng(3)
+        T = 120
+        gt = self._ray_points(np.full(T, 3.0, np.float32), rng, T)
+        noisy = gt.copy()
+        bad = slice(50, 60)
+        noisy[bad, 2] *= 1.6                      # occluded-frame blowup
+        conf = np.ones((T, 24), np.float32)
+        conf[bad] = 0.05
+        sm_w = smooth_root_depth(noisy, conf=conf)
+        sm_u = smooth_root_depth(noisy)
+        err_w = np.abs(sm_w[bad, 2] - gt[bad, 2]).mean()
+        err_u = np.abs(sm_u[bad, 2] - gt[bad, 2]).mean()
+        assert err_w < 0.5 * err_u, (err_w, err_u)
+
+    def test_wired_into_lifter_pose_est(self, smpl):
+        # plumbing: the track-level entry applies the smoother by default
+        # and disables it with depth_smooth_lam=None
+        import inspect
+
+        from glamr_tpu.pose_est.estimator import lifter_pose_est
+
+        sig = inspect.signature(lifter_pose_est)
+        assert sig.parameters["depth_smooth_lam"].default == 25.0
