@@ -79,6 +79,12 @@ def main(argv=None):
                              "none = est-derived trajectory (no CVAE "
                              "prior); random = randomly initialized "
                              "CVAEs (untrained-prior control)")
+    parser.add_argument("--traj_prior", default="cfg",
+                        choices=["cfg", "on", "off"],
+                        help="override flag_use_traj_prior: off = hybrid "
+                             "mode (motion infiller completes occluded "
+                             "pose, trajectory base stays est-derived); "
+                             "cfg = use the config's setting")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -101,6 +107,10 @@ def main(argv=None):
 
     joint_model = None
     specs = cfg.get("grecon_model_specs", {})
+    if args.traj_prior != "cfg":
+        specs["flag_use_traj_prior"] = args.traj_prior == "on"
+        log.info(f"traj prior override: flag_use_traj_prior="
+                 f"{specs['flag_use_traj_prior']}")
     if (specs.get("flag_infer_motion_traj") and "motion_traj_cfg" in specs
             and args.joint_model != "none"):
         try:

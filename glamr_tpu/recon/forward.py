@@ -78,6 +78,13 @@ class ReconFlags:
     opt_motion_latent: bool = False
     opt_traj_latent: bool = False
     infill_motion: bool = True
+    # When False, the motion infiller still completes occluded pose (and
+    # its latents stay optimizable) but the trajectory BASE remains the
+    # estimate-derived one instead of the traj-CVAE decode — the measured
+    # hybrid operating point for procedurally-trained priors (see
+    # RESULTS.md CVAE ablation: the prior wins PA/ACCEL but its open-loop
+    # heading drift loses G-MPJPE until AMASS-grade training data exists).
+    use_traj_prior: bool = True
 
 
 def cvae_pred(params: dict, const: dict, joint_model) -> tuple:
@@ -327,7 +334,10 @@ def _recon_forward(params: dict, const: dict, smpl, flags: ReconFlags,
         cvae_pose, traj_local_pred = cvae_pred(params, const, joint_model)
         if flags.infill_motion:
             smpl_pose = cvae_pose
-        if not flags.pred_traj:
+        if not flags.pred_traj or not flags.use_traj_prior:
+            # hybrid mode: keep the infilled pose, drop the traj decode —
+            # compose_local_traj falls back to const['traj_local_pred']
+            # (the est-derived base); XLA dead-code-eliminates the decode
             traj_local_pred = None
     orient_w, trans_w, traj_local = world_pose_from_traj(
         params, const, flags, traj_local_pred)

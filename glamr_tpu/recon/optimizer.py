@@ -95,6 +95,7 @@ class GlobalReconOptimizer:
             opt_motion_latent=g("flag_opt_motion_latent", False),
             opt_traj_latent=g("flag_opt_traj_latent", False),
             infill_motion=g("flag_infill_motion", True),
+            use_traj_prior=g("flag_use_traj_prior", True),
         )
         self.flag_infer_motion_traj = g("flag_infer_motion_traj", False)
         self.flag_infill_motion = g("flag_infill_motion", True)
@@ -313,6 +314,14 @@ class GlobalReconOptimizer:
             if self.flag_infill_motion:
                 bp.smpl_pose = smpl_pose_j
             traj_local_pred = np.array(traj_local_pred)  # writable copy
+            if not self.flags.use_traj_prior:
+                # hybrid mode: infilled pose is kept (above), but the
+                # trajectory base stays estimate-derived, exactly as in
+                # the no-CVAE path — the traj decode is discarded here
+                # and dead-code-eliminated inside the stage programs
+                orient_w, trans_w = self._traj_base_from_est(bp)
+                traj_local_pred = self._traj_local_from_bases(
+                    orient_w, trans_w, bp)
         else:
             if not self.flags.pred_traj or not self.flag_infer_motion_traj:
                 orient_w, trans_w = self._traj_base_from_est(bp)
@@ -349,7 +358,8 @@ class GlobalReconOptimizer:
             orient_w, trans_w, traj_local_pred, bp = self._traj_from_cam(
                 cam_pose_inv, person_tf_cam, bp
             )
-        if self.flag_infer_motion_traj and self.flags.pred_traj:
+        if self.flag_infer_motion_traj and self.flags.pred_traj \
+                and self.flags.use_traj_prior:
             traj_local_pred, orient_w, trans_w = self._apply_cam_fix_heading(
                 traj_local_pred, cam_pose_inv, bp, person_tf_cam
             )

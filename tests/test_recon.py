@@ -361,6 +361,52 @@ class TestLatentOptimization:
         assert float(np.abs(np.asarray(g["motion_latent"])).max()) > 0
         assert float(np.abs(np.asarray(g["traj_latent"])).max()) > 0
 
+    def test_hybrid_traj_prior_off(self, in_dict, smpl_syn):
+        """flag_use_traj_prior=False: the infiller still completes pose
+        (motion latents live), but the trajectory base is EXACTLY the
+        est-derived one and the traj-CVAE decode is inert (zero grad)."""
+        import jax
+        from glamr_tpu.recon import compute_losses
+        jm = self._tiny_joint_model(smpl_syn)
+        specs = {"flag_fixed_cam": True, "flag_infer_motion_traj": True,
+                 "flag_opt_motion_latent": True, "flag_opt_traj_latent": True,
+                 "flag_use_traj_prior": False}
+        cfg = FakeCfg(STAGE, specs)
+        opt = GlobalReconOptimizer(cfg, joint_model=jm, smpl=smpl_syn)
+        data = opt.init_data(in_dict)
+
+        # trajectory base matches the no-joint-model (est-derived) init
+        opt_ref = GlobalReconOptimizer(FakeCfg(STAGE, {"flag_fixed_cam": True}),
+                                       smpl=smpl_syn)
+        data_ref = opt_ref.init_data(in_dict)
+        np.testing.assert_allclose(
+            np.asarray(data["const"]["traj_local_pred"]),
+            np.asarray(data_ref["const"]["traj_local_pred"]),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(data["const"]["root_trans_world_base"]),
+            np.asarray(data_ref["const"]["root_trans_world_base"]),
+            atol=1e-5)
+
+        loss_cfg = {"kp_2d": {"weight": 1.0, "min_conf": 0.3}}
+
+        def loss(params):
+            d = recon_forward(params, data["const"], smpl_syn, opt.flags,
+                              "hold", joint_model=jm, use_latents=True)
+            return compute_losses({**data["const"], **params, **d}, loss_cfg)[0]
+
+        g = jax.grad(loss)(data["params"])
+        # infiller latents still shape the pose -> nonzero grad; the traj
+        # decode is discarded -> exactly zero grad
+        assert float(np.abs(np.asarray(g["motion_latent"])).max()) > 0
+        assert float(np.abs(np.asarray(g["traj_latent"])).max()) == 0.0
+
+        # and the full optimize() runs to finite outputs
+        out = opt.optimize(in_dict)
+        for pd in out["person_data"].values():
+            assert np.isfinite(pd["root_trans_world"]).all()
+            assert np.isfinite(pd["smpl_pose"]).all()
+
 
 class TestBranchCoverage:
     """Exercise forward-graph branches the shipped demo path doesn't:
