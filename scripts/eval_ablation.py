@@ -42,9 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from eval_synthetic_sweep import generate_dataset  # noqa: E402
 
 ARMS = {
+    # the full-prior arms force --traj_prior on: the shipped cfg default
+    # is the hybrid operating point, but these arms measure the complete
+    # reference behavior (traj-CVAE trajectory base)
     "no_cvae": ["--joint_model", "none"],
-    "random_cvae": ["--joint_model", "random"],
-    "trained_cvae": ["--joint_model", "auto"],
+    "random_cvae": ["--joint_model", "random", "--traj_prior", "on"],
+    "trained_cvae": ["--joint_model", "auto", "--traj_prior", "on"],
     # hybrid: trained motion infiller completes occluded pose, but the
     # trajectory BASE stays est-derived (flag_use_traj_prior off) — the
     # measured best operating point while the traj prior trains on
