@@ -45,6 +45,12 @@ def main(argv=None):
                              "device time (default: async dispatch)")
     parser.add_argument("--num_fr", type=int, default=150,
                         help="frames for --synthetic_pose_est without video")
+    parser.add_argument("--traj_prior", default="cfg",
+                        choices=["cfg", "on", "off"],
+                        help="override flag_use_traj_prior: off = hybrid "
+                             "mode (motion infiller completes occluded "
+                             "pose, trajectory base stays est-derived); "
+                             "cfg = use the config's setting")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -90,6 +96,11 @@ def main(argv=None):
         est = load_pose_pkl(pose_pkl)
 
     joint_model = None
+    if args.traj_prior != "cfg":
+        cfg.get("grecon_model_specs", {})["flag_use_traj_prior"] = \
+            args.traj_prior == "on"
+        log.info(f"traj prior override: flag_use_traj_prior="
+                 f"{args.traj_prior == 'on'}")
     if cfg.get("grecon_model_specs", {}).get("flag_infer_motion_traj") and \
             "motion_traj_cfg" in cfg.get("grecon_model_specs", {}):
         try:

@@ -82,6 +82,10 @@ def main(argv=None):
                                  "detector"])
     parser.add_argument("--cfg", default=None)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None,
+                        help="override the cfg learning rate (e.g. a "
+                             "reduced lr when resuming past a loss "
+                             "spike)")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--steps_per_epoch", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
@@ -179,7 +183,7 @@ def main(argv=None):
     epochs = args.epochs or int(cfg.get("max_epochs", 100))
     batch_size = args.batch_size or int(cfg.get("batch_size", 64))
     seq_len = int(cfg.get("seq_len", 50))
-    lr = float(cfg.get("lr", 1e-3))
+    lr = args.lr if args.lr is not None else float(cfg.get("lr", 1e-3))
     clip = float(cfg.get("gradient_clip_val", 5.0))
 
     # versioned run dir (reference train.py:75-88), created by process 0

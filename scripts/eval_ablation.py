@@ -39,7 +39,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from eval_synthetic_sweep import generate_dataset  # noqa: E402
+from eval_synthetic_sweep import (generate_dataset,  # noqa: E402
+                                  swap_gt_to_camconv)
 
 ARMS = {
     # the full-prior arms force --traj_prior on: the shipped cfg default
@@ -86,33 +87,6 @@ def interp_occluded(arr, exist):
     return flat.reshape(arr.shape)
 
 
-def swap_gt_to_camconv(out_dir, floors, seq_names, seeds):
-    """Re-gauge the no-CVAE arm's scoring: swap the GT embedded in its
-    recon output pkls to the CAM-FRAME convention.
-
-    The no-CVAE diagnostic path anchors its world at the identity camera
-    (reference global_recon_model.py:79) with an arbitrary heading gauge
-    about z_cam, while the product CVAE path re-anchors to a canonical
-    z-up world (init_default_traj + init_cam_pose, :294-321). The
-    evaluator's chunked alignment removes a heading gauge about the
-    frame's z axis — so each arm must be scored against the GT expressed
-    in ITS OWN frame convention: z-up GT for CVAE arms, cam-frame GT
-    (emitted by generate_dataset as gt_*_camconv) for the no-CVAE arm.
-    run_dataset embeds the GT in each output pkl, so the swap rewrites
-    those in place before eval_dataset.
-    """
-    for seq in seq_names:
-        fl = floors[seq]
-        for seed in seeds.split(","):
-            path = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")
-            with open(path, "rb") as f:
-                out = pickle.load(f)
-            for pd in out["gt"].values():
-                pd["pose"] = fl["gt_pose_camconv"]
-                pd["trans"] = fl["gt_trans_camconv"]
-                pd["root_trans"] = fl["gt_trans_camconv"]
-            with open(path, "wb") as f:
-                pickle.dump(out, f)
 
 
 def score_input_floor(floors, workdir, cfg_id, seq_names):

@@ -221,6 +221,25 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
     if extra_tracks:
         est = [max(est, key=lambda e: e["frames"].shape[0])]
 
+    # stage-1-level root decomposition (pre-recon): est root vs GT pelvis
+    # in the camera frame, split into depth (the weakly-observed
+    # dimension) and in-image xy — isolates how much of the e2e G-MPJPE
+    # stage 1 itself contributes vs the recon/trajectory layer
+    fr = np.asarray(est[0]["frames"], np.int64)
+    gt_root_cam = np.einsum("ij,tj->ti", R, joints[:, 0] - cpos)
+    er = np.asarray(est[0]["root_trans"], np.float32)
+    gr = gt_root_cam[fr]
+    gaps = np.setdiff1d(np.arange(T), fr)
+    stage1_root = {
+        "root_err_mm": float(np.linalg.norm(er - gr, axis=-1).mean() * 1000),
+        "root_err_max_mm": float(np.linalg.norm(er - gr, axis=-1).max() * 1000),
+        "depth_err_mm": float(np.abs(er[:, 2] - gr[:, 2]).mean() * 1000),
+        "xy_err_mm": float(
+            np.linalg.norm(er[:, :2] - gr[:, :2], axis=-1).mean() * 1000),
+        "track_span": [int(fr[0]), int(fr[-1])],
+        "untracked_frames": [int(g) for g in gaps[:50]],
+    }
+
     # GT in the camera frame (world == camera for the static-cam config)
     Rj = jnp.asarray(R, jnp.float32)
     gt_orient_w = angle_axis_to_rotation_matrix(jnp.asarray(theta[:, 3:6]))
@@ -246,6 +265,18 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
     out = opt.optimize({"est": est, "gt": gt, "gt_meta": {},
                         "seq_name": "stage1_e2e"})
     wall = time.time() - t0
+
+    # recon-level root error in the shared cam-anchored gauge (hybrid
+    # default: world == identity camera), before any rotation/alignment
+    pd0 = list(out["person_data"].values())[0]
+    rw = np.asarray(pd0["root_trans_world"], np.float32)
+    if len(rw) == len(gt_root_c):
+        ge = np.asarray(pd0.get("exist_frames",
+                                np.ones(len(rw), bool))).astype(bool)
+        recon_root_err_mm = float(np.linalg.norm(
+            rw[ge] - gt_root_c[ge], axis=-1).mean() * 1000)
+    else:
+        recon_root_err_mm = float("nan")
 
     # rotate BOTH est and GT from the (level) camera frame to z-up: the
     # camera's -y axis is world up, so Rx(-90deg) maps y-down -> z-up
@@ -275,6 +306,8 @@ def eval_e2e(det_model, det_params, dcfg, lift_model, lift_params,
     md = ev.compute_sequence_metrics(out, accumulate=False)
     # some metrics accumulate arrays (per-seed sample metrics); report means
     metrics = {k: float(np.mean(v.avg)) for k, v in md["metrics"].items()}
+    metrics.update({"stage1_root": stage1_root,
+                    "recon_root_err_mm": recon_root_err_mm})
     metrics.update({"recon_wall_s": wall, "num_fr": T,
                     "tracked_frames": int(est[0]["frames"].shape[0]),
                     "extra_tracks": extra_tracks})

@@ -233,6 +233,47 @@ def generate_dataset(workdir, out_dir, args):
     return seq_names, occl_info, floors
 
 
+def swap_gt_to_camconv(out_dir, floors, seq_names, seeds):
+    """Re-gauge scoring for cam-anchored outputs: swap the GT embedded in
+    the recon output pkls to the CAM-FRAME convention.
+
+    The full-traj-prior product path re-anchors to a canonical z-up world
+    (reference init_default_traj + init_cam_pose, global_recon_model.py
+    :294-321); the est-derived trajectory base (no-CVAE diagnostic, or the
+    shipped hybrid default flag_use_traj_prior=false) anchors its world at
+    the identity camera. The evaluator's chunked alignment removes only a
+    yaw+xy gauge, so each output must be scored against the GT expressed
+    in ITS OWN frame convention (cross-gauge scoring inflates G-MPJPE by
+    ~3.2 m of pure convention offset — see RESULTS.md error decomposition).
+    """
+    for seq in seq_names:
+        fl = floors[seq]
+        for seed in str(seeds).split(","):
+            path = os.path.join(out_dir, f"{seq}_seed{seed}.pkl")
+            with open(path, "rb") as f:
+                out = pickle.load(f)
+            for pd in out["gt"].values():
+                pd["pose"] = fl["gt_pose_camconv"]
+                pd["trans"] = fl["gt_trans_camconv"]
+                pd["root_trans"] = fl["gt_trans_camconv"]
+            with open(path, "wb") as f:
+                pickle.dump(out, f)
+
+
+def _cam_anchored(cfg_id) -> bool:
+    """Does this cfg produce cam-anchored world output? True when the
+    trajectory base is est-derived: no joint-model trajectory inference,
+    or the hybrid flag_use_traj_prior=false default."""
+    from glamr_tpu.utils import Config
+
+    specs = Config(cfg_id).get("grecon_model_specs", {})
+    if not specs.get("flag_infer_motion_traj"):
+        return True
+    if not specs.get("flag_pred_traj", True):
+        return True
+    return not specs.get("flag_use_traj_prior", True)
+
+
 def main():
     args = parse_args()
     from glamr_tpu.cli import eval_dataset, run_dataset
@@ -243,7 +284,7 @@ def main():
     if os.path.isdir(workdir):
         shutil.rmtree(workdir)
     out_dir = os.path.join(workdir, "out")
-    seq_names, occl_info, _ = generate_dataset(workdir, out_dir, args)
+    seq_names, occl_info, floors = generate_dataset(workdir, out_dir, args)
 
     cwd = os.getcwd()
     os.chdir(workdir)  # run_dataset resolves datasets/ relative to cwd
@@ -254,6 +295,8 @@ def main():
             "--sequences", ",".join(seq_names), "--seeds", args.seeds,
         ] + (["--pad_to", str(args.pad_to)] if args.pad_to else []))
         recon_wall = time.time() - t0
+        if _cam_anchored(args.cfg):
+            swap_gt_to_camconv(out_dir, floors, seq_names, args.seeds)
         acc = eval_dataset.main([
             "--dataset", "3dpw", "--cfg", args.cfg, "--out_dir", out_dir,
             "--sequences", ",".join(seq_names), "--seeds", args.seeds,

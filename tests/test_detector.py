@@ -188,6 +188,104 @@ def test_tracker_two_stage_spawn_and_extend():
     assert (np.diff(only["kp_2d"][:, 0, 0]) > 0).all()
 
 
+def _det_frame(centers, scores, K=24):
+    centers = np.asarray(centers, np.float32).reshape(-1, 2)
+    D = len(centers)
+    return {"centers": centers,
+            "kp_2d": np.tile(centers[:, None], (1, K, 1)),
+            "kp_conf": np.ones((D, K), np.float32),
+            "scores": np.asarray(scores, np.float32),
+            "valid": np.ones(D, bool)}
+
+
+def test_extend_tracks_backward_recovers_weak_entry():
+    """A person entering the clip below spawn_score loses their first
+    frames to the live tracker; the offline bidirectional pass walks the
+    track head backward through the unclaimed low-score detections
+    (measured motivation: the stage-1 e2e clip loses frames 0-19 to a
+    weak edge entry, and the evaluator anchors alignment at frame 0)."""
+    from glamr_tpu.pose_est.tracker import track_detections
+
+    T = 30
+    dets = []
+    for t in range(T):
+        x = 10.0 + 3 * t
+        # weak for the first 10 frames (entering), confident after
+        s = 0.15 if t < 10 else 0.8
+        dets.append(_det_frame([[x, 50.0]], [s]))
+    t_off = track_detections(dets, extend=False, max_dist=20.0, min_len=5)
+    t_on = track_detections(dets, extend=True, max_dist=20.0, min_len=5)
+    assert int(t_off[0]["frames"][0]) == 10
+    assert int(t_on[0]["frames"][0]) == 0
+    assert len(t_on[0]["frames"]) == T
+    # rows stay frame-sorted and aligned
+    assert (np.diff(t_on[0]["frames"]) > 0).all()
+    assert np.allclose(t_on[0]["kp_2d"][:, 0, 0], 10.0 + 3 * np.arange(T))
+
+
+def test_extend_tracks_forward_recovers_weak_tail():
+    from glamr_tpu.pose_est.tracker import track_detections
+
+    T = 30
+    dets = []
+    for t in range(T):
+        x = 10.0 + 3 * t
+        s = 0.8 if t < 20 else 0.15   # weak exit after a miss streak
+        dets.append(_det_frame([[x, 50.0]], [s]))
+    # with max_miss below the weak-tail length, the live track dies at 19
+    t_off = track_detections(dets, extend=False, max_dist=20.0, min_len=5,
+                             max_miss=3)
+    # the live two-stage association already extends through weak frames
+    # while the track is alive, so this baseline keeps the tail too; the
+    # offline pass must at minimum not disturb it
+    t_on = track_detections(dets, extend=True, max_dist=20.0, min_len=5,
+                            max_miss=3)
+    assert int(t_on[0]["frames"][-1]) == T - 1
+    assert len(t_on[0]["frames"]) >= len(t_off[0]["frames"])
+
+
+def test_extend_tracks_gate_and_claims():
+    """Extension never attaches clutter beyond max_dist and never steals
+    detections already claimed by another track."""
+    from glamr_tpu.pose_est.tracker import extend_tracks_bidirectional
+
+    T = 20
+    dets = []
+    for t in range(T):
+        rows, scores = [], []
+        if t >= 5:
+            rows.append([50.0 + t, 50.0]); scores.append(0.8)  # person A
+        rows.append([300.0, 300.0]); scores.append(0.2)        # far clutter
+        if t < 5:
+            rows.append([58.0, 52.0]); scores.append(0.15)     # A entering
+        dets.append(_det_frame(rows, scores))
+    tracks = {0: {"frames": np.arange(5, T),
+                  "kp_2d": np.tile(np.array(
+                      [[50.0 + t, 50.0] for t in range(5, T)],
+                      np.float32)[:, None], (1, 24, 1)),
+                  "conf": np.ones((T - 5, 24), np.float32),
+                  "scores": np.full(T - 5, 0.8, np.float32)}}
+    out = extend_tracks_bidirectional(tracks, dets, max_dist=20.0,
+                                      max_miss=5, floor=0.05)
+    fr = out[0]["frames"]
+    assert int(fr[0]) == 0                       # entering frames claimed
+    # clutter at (300,300) never attached: every center stays near A
+    assert np.abs(out[0]["kp_2d"][:, 0, 0] - 55.0).max() < 25.0
+
+    # a second track already claiming the entering detections blocks them
+    tracks2 = {
+        0: tracks[0],
+        1: {"frames": np.arange(0, 5),
+            "kp_2d": np.tile(np.array([[58.0, 52.0]], np.float32),
+                             (5, 24, 1)).reshape(5, 24, 2),
+            "conf": np.ones((5, 24), np.float32),
+            "scores": np.full(5, 0.15, np.float32)},
+    }
+    out2 = extend_tracks_bidirectional(tracks2, dets, max_dist=20.0,
+                                       max_miss=5, floor=0.05)
+    assert int(out2[0]["frames"][0]) == 5        # nothing left to claim
+
+
 def test_tracker_miss_tolerance_and_min_len():
     from glamr_tpu.pose_est.tracker import GreedyTracker
 
