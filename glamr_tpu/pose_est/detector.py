@@ -201,8 +201,73 @@ def splat_gaussian(hm_size: int, centers, sigma: float):
     return hm
 
 
+def _snap_to_kp_heatmap(kp_cell, kp_hm, radius: int = 2,
+                        min_peak: float = 0.1):
+    """Refine center-regressed keypoints against the per-keypoint
+    heatmaps (jittable).
+
+    The offset head regresses all K keypoints from ONE center cell, so
+    its precision is bounded by that cell's receptive field — measured
+    on rendered held-out scenes it shrinks the keypoint spread to
+    0.82-0.86 of GT (L1 regression toward the mean), which the lifter's
+    depth anchor converts into a systematic +11% depth overestimate
+    (RESULTS.md stage-1 decomposition). CenterNet-pose resolves this the
+    same way: the regression only GROUPS keypoints to a person; the
+    coordinate is refined by snapping to the nearest local evidence in
+    the keypoint heatmap. Here: take the (2r+1)^2 window of channel k
+    around the regressed cell, find its argmax, then a 3x3 weighted
+    centroid around that argmax for sub-cell precision; keep the
+    regressed coordinate when the window's best evidence is weak
+    (< min_peak — occluded or out-of-window joints).
+
+    kp_cell (B, M, K, 2) float cell coords (x, y); kp_hm (B, h, w, K).
+    Returns refined (B, M, K, 2) cell coords.
+    """
+    B, h, w, K = kp_hm.shape
+    M = kp_cell.shape[1]
+    r = radius
+    W = 2 * r + 1
+    # pad so dynamic_slice windows never clip (pad with 0 evidence)
+    hmp = jnp.pad(jnp.moveaxis(kp_hm, -1, 1), ((0, 0), (0, 0),
+                                               (r + 1, r + 1), (r + 1, r + 1)))
+    cx = jnp.clip(jnp.round(kp_cell[..., 0]), 0, w - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.round(kp_cell[..., 1]), 0, h - 1).astype(jnp.int32)
+
+    def win(b, k, y, x):
+        return jax.lax.dynamic_slice(hmp[b, k], (y, x), (W, W))
+
+    bi = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, M, K))
+    ki = jnp.broadcast_to(jnp.arange(K)[None, None, :], (B, M, K))
+    wins = jax.vmap(win)(bi.reshape(-1), ki.reshape(-1),
+                         (cy + 1).reshape(-1), (cx + 1).reshape(-1))
+    # windows are centered: index (r, r) == the regressed cell. (+1 in the
+    # slice start cancels the extra pad so a 3x3 centroid around any
+    # in-window argmax stays in bounds.)
+    flatw = wins.reshape(-1, W * W)
+    pk = jnp.argmax(flatw, axis=-1)
+    pky, pkx = pk // W, pk % W
+    peak_val = jnp.take_along_axis(flatw, pk[:, None], axis=-1)[:, 0]
+
+    # 3x3 weighted centroid around the argmax (sub-cell refinement)
+    def cent(wn, y, x):
+        patch = jax.lax.dynamic_slice(
+            jnp.pad(wn, ((1, 1), (1, 1))), (y, x), (3, 3))
+        tot = patch.sum() + 1e-8
+        dy = (patch * jnp.array([[-1.], [0.], [1.]])).sum() / tot
+        dx = (patch * jnp.array([[-1., 0., 1.]])).sum() / tot
+        return jnp.stack([x.astype(jnp.float32) + dx,
+                          y.astype(jnp.float32) + dy])
+
+    ref = jax.vmap(cent)(wins, pky, pkx)            # (N, 2) (x, y) in-window
+    ref = ref.reshape(B, M, K, 2)
+    snapped = jnp.stack([cx.astype(jnp.float32), cy.astype(jnp.float32)],
+                        -1) + ref - r
+    use = (peak_val.reshape(B, M, K) >= min_peak)[..., None]
+    return jnp.where(use, snapped, kp_cell)
+
+
 def decode_detections(out: dict, cfg: DetectorConfig,
-                      score_thresh: float = 0.3):
+                      score_thresh: float = 0.3, snap_kp: bool = False):
     """Dense heads -> top-max_people detections per image (jittable).
 
     Returns dict:
@@ -211,6 +276,14 @@ def decode_detections(out: dict, cfg: DetectorConfig,
       kp_2d   (B, M, K, 2) pixel coords
       kp_conf (B, M, K)  keypoint-heatmap confidence at each keypoint
       valid   (B, M)     score > score_thresh
+
+    snap_kp: refine the center-regressed keypoints against the
+    per-keypoint heatmaps (_snap_to_kp_heatmap), CenterNet-pose style.
+    Default OFF: measured with the CURRENT release checkpoint the kp
+    heatmaps are no sharper than the regression (keypoint px error
+    10.0 -> 13.3 with snapping on the stage-1 e2e clip), so snapping
+    buys nothing until the kp_hm head is retrained stronger — flip on
+    after that retrain (ROADMAP, detector-domain round).
     """
     hm = out["center_hm"]                               # (B, h, w)
     B, h, w = hm.shape
@@ -229,6 +302,8 @@ def decode_detections(out: dict, cfg: DetectorConfig,
     bi = jnp.arange(B)[:, None]
     off = out["kp_offset"][bi, cy, cx]                  # (B, M, K, 2)
     kp_cell = jnp.stack([cx, cy], -1)[:, :, None, :].astype(jnp.float32) + off
+    if snap_kp:
+        kp_cell = _snap_to_kp_heatmap(kp_cell, out["kp_hm"])
     kp_px = kp_cell * s + s / 2.0
 
     # confidence: kp heatmap sampled at the (clamped) keypoint cell

@@ -96,6 +96,40 @@ def test_decode_finds_planted_peak(tiny_cfg):
                                [(cx + 1.5) * s + s / 2, (cy - 0.5) * s + s / 2])
 
 
+def test_decode_snap_to_kp_heatmap(tiny_cfg):
+    """snap_kp=True moves a regressed keypoint onto a nearby kp-heatmap
+    peak (sub-cell, via the 3x3 centroid); keypoints with no evidence in
+    the window keep the regressed coordinate."""
+    import jax.numpy as jnp
+
+    from glamr_tpu.pose_est.detector import decode_detections
+
+    c = tiny_cfg
+    hm = c.hm_size
+    center = np.zeros((1, hm, hm), np.float32)
+    cy, cx = 5, 9
+    center[0, cy, cx] = 0.9
+    off = np.zeros((1, hm, hm, c.num_kp, 2), np.float32)
+    # regression says keypoint 0 sits at the center cell...
+    kp_hm = np.zeros((1, hm, hm, c.num_kp), np.float32)
+    # ...but the heatmap evidence for kp 0 peaks 2 cells right of it
+    kp_hm[0, cy, cx + 2, 0] = 0.9
+    # kp 1 has NO evidence anywhere -> regressed coordinate kept
+    out = {"center_hm": jnp.asarray(center),
+           "kp_offset": jnp.asarray(off),
+           "kp_hm": jnp.asarray(kp_hm)}
+    s = c.out_stride
+    dec_off = decode_detections(out, c, score_thresh=0.5, snap_kp=False)
+    dec_on = decode_detections(out, c, score_thresh=0.5, snap_kp=True)
+    # snap moved kp 0 to the peak cell (isolated peak -> centroid exact)
+    np.testing.assert_allclose(
+        dec_on["kp_2d"][0, 0, 0],
+        [(cx + 2) * s + s / 2, cy * s + s / 2], atol=1e-4)
+    # kp 1 unchanged vs the regression-only decode
+    np.testing.assert_allclose(dec_on["kp_2d"][0, 0, 1],
+                               dec_off["kp_2d"][0, 0, 1], atol=1e-6)
+
+
 def test_focal_loss_decreases_with_better_pred():
     from glamr_tpu.pose_est.detector import focal_heatmap_loss
 
