@@ -130,6 +130,49 @@ def test_run_and_eval_dataset(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_run_dataset_traj_prior_override(tmp_path, monkeypatch):
+    """--traj_prior on/off flips flag_use_traj_prior from the CLI: both
+    arms run end-to-end on the same inputs; the 'off' (hybrid) arm's
+    trajectory follows the est-derived base while the 'on' arm's follows
+    the traj-CVAE decode, so their world trajectories differ."""
+    from glamr_tpu.cli import run_dataset
+
+    root = tmp_path / "datasets" / "3DPW"
+    est, seq = make_mini_3dpw(str(root))
+    for arm in ("on", "off"):
+        out_dir = tmp_path / f"out_{arm}"
+        pe_dir = out_dir / "pose_est" / seq
+        os.makedirs(pe_dir, exist_ok=True)
+        with open(pe_dir / "pose.pkl", "wb") as f:
+            pickle.dump(est, f)
+
+    monkeypatch.chdir(tmp_path)
+    from glamr_tpu.utils import Config
+    cfg = Config("glamr_dynamic")
+    for ss in cfg.opt_stage_specs.values():
+        ss["opt_niters"] = 5
+    import yaml
+    cfg_file = tmp_path / "glamr_dynamic_tiny.yml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg.yml_dict, f)
+
+    roots = {}
+    for arm in ("on", "off"):
+        run_dataset.main([
+            "--dataset", "3dpw", "--cfg", str(cfg_file),
+            "--out_dir", str(tmp_path / f"out_{arm}"),
+            "--sequences", seq, "--seeds", "1", "--traj_prior", arm,
+        ])
+        with open(tmp_path / f"out_{arm}" / f"{seq}_seed1.pkl", "rb") as f:
+            data = pickle.load(f)
+        pd = next(iter(data["person_data"].values()))
+        assert np.isfinite(pd["root_trans_world"]).all()
+        roots[arm] = np.asarray(pd["root_trans_world"])
+    # different trajectory bases -> different world trajectories
+    assert float(np.abs(roots["on"] - roots["off"]).max()) > 1e-3
+
+
+@pytest.mark.slow
 def test_run_and_eval_dataset_dynamic(tmp_path, monkeypatch):
     """glamr_dynamic end-to-end: dynamic camera (flag_init_cam_all_frames)
     + the joint CVAE model (flag_infer_motion_traj with motion_traj_cfg,
