@@ -65,6 +65,14 @@ def parse_args(argv=None):
                    help="override stage iters (smoke tests use a tiny value)")
     p.add_argument("--skip_sweep", action="store_true",
                    help="preprocess/port only")
+    p.add_argument("--traj_prior", default="auto",
+                   choices=["auto", "on", "off", "cfg"],
+                   help="trajectory-prior mode for the sweep. auto "
+                        "(default): 'on' when reference checkpoints were "
+                        "ported this run (mocap-trained priors should "
+                        "drive the trajectory, reference behavior), else "
+                        "the cfg's shipped hybrid default; on/off/cfg "
+                        "force it")
     p.add_argument("--out", default=None, help="summary JSON path")
     p.add_argument("--dry_run", action="store_true",
                    help="print the stage plan without executing")
@@ -114,7 +122,7 @@ def _maybe_tiny_cfg(cfg_id, opt_niters, workdir):
 
 
 def _sweep_and_eval(dataset, cfg_path, data_root, out_dir, seeds, sequences,
-                    summary):
+                    summary, traj_prior="cfg"):
     from glamr_tpu.cli import eval_dataset, run_dataset
 
     common = ["--dataset", dataset, "--cfg", cfg_path,
@@ -124,6 +132,8 @@ def _sweep_and_eval(dataset, cfg_path, data_root, out_dir, seeds, sequences,
     run_args = list(common)
     if data_root:
         run_args += ["--data_root", data_root]
+    if traj_prior in ("on", "off"):
+        run_args += ["--traj_prior", traj_prior]
     t0 = time.time()
     run_dataset.main(run_args)
     acc = eval_dataset.main(common)
@@ -228,18 +238,25 @@ def main(argv=None):
     # ---- benchmark sweeps -----------------------------------------------
     if "sweep" in plan:
         workdir = args.results_out
+        # auto: mocap-trained reference priors just ported -> full prior
+        # (reference behavior); otherwise the cfg's measured hybrid
+        # default stands (RESULTS.md ablation)
+        tp_mode = args.traj_prior
+        if tp_mode == "auto":
+            tp_mode = "on" if "port" in plan else "cfg"
+        summary["traj_prior_mode"] = tp_mode
         if threedpw_processed:
             # run_dataset's 3dpw layout: <root>/processed_v1/pose
             cfg = _maybe_tiny_cfg(args.cfg_3dpw, args.opt_niters, workdir)
             _sweep_and_eval("3dpw", cfg, os.path.dirname(threedpw_processed),
                             os.path.join(workdir, "3dpw"), args.seeds,
-                            args.sequences, summary)
+                            args.sequences, summary, traj_prior=tp_mode)
         if h36m_occluded:
             # run_dataset's h36m layout: <root>/pose (root = occluded set)
             cfg = _maybe_tiny_cfg(args.cfg_h36m, args.opt_niters, workdir)
             _sweep_and_eval("h36m", cfg, h36m_occluded,
                             os.path.join(workdir, "h36m"), args.seeds,
-                            args.sequences, summary)
+                            args.sequences, summary, traj_prior=tp_mode)
         summary["stages_run"].append("sweep")
 
     if args.out:

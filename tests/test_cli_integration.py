@@ -716,6 +716,9 @@ def test_real_data_pipeline_smoke(tmp_path, monkeypatch):
 
     assert set(summary["stages_run"]) >= {"amass", "threedpw", "port",
                                           "sweep"}
+    # port stage ran -> auto mode selects the FULL traj prior (mocap-
+    # trained reference weights drive the trajectory, reference behavior)
+    assert summary["traj_prior_mode"] == "on"
     # preprocessed artifacts at the conventional paths
     assert os.path.isfile("datasets/amass_processed/v1/amass_train.pkl")
     assert os.path.isfile("datasets/3DPW/processed_v1/pose/test_seq_00.pkl")
