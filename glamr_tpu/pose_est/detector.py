@@ -39,6 +39,19 @@ class DetectorConfig:
     num_blocks: int = 2          # residual blocks per resolution level
     max_people: int = 4          # static top-k for decoding
     dtype: str = "float32"       # compute dtype ("bfloat16" for MXU speed)
+    # GT keypoint-heatmap splat sigma in CELLS (training-time only).
+    # 0.0 = legacy v3 recipe (cell-rounded peaks, sigma hm/24 ~1.33 —
+    # what the SHIPPED release trained with). >0 = continuous sub-cell
+    # peaks at this sigma, for decode-time snapping evidence. Two
+    # sharper recipes were measured at 128 px/200 ep and MADE THINGS
+    # WORSE (RESULTS.md keypoint-shrinkage finding): sigma 0.75
+    # collapses the focal loss (peaks ~0.001 trained); sigma 1.25 +
+    # kp_hm weight 2.0 trains peaks (0.92) but the stronger heatmap
+    # gradient drags the shared trunk and the offset-head spread
+    # shrinkage WORSENS (0.86 -> 0.66). The precision lever at this
+    # capacity is input resolution, not splat sharpness (ROADMAP
+    # round-6 queue).
+    kp_sigma_cells: float = 0.0
 
     @classmethod
     def from_dict(cls, d: dict) -> "DetectorConfig":

@@ -513,13 +513,21 @@ class DetectorDataGen:
         gt_center_hm = splat_gaussian(hm, centers_cell, sigma)
         gt_kp_hm = np.zeros((hm, hm, K), np.float32)
         if kp_cells_all:
-            # vectorized multi-person gaussian splat: (Pv, K, h, w) -> max
-            kc = np.round(np.stack(kp_cells_all))          # (Pv, K, 2) x,y
+            # vectorized multi-person gaussian splat: (Pv, K, h, w) -> max.
+            # kp_sigma_cells > 0 keeps CONTINUOUS sub-cell peak positions
+            # at that sigma (decode-snapping evidence); 0 = the legacy v3
+            # recipe (cell-rounded peaks, sigma hm/24) the shipped release
+            # trained with — see detector.DetectorConfig.kp_sigma_cells
+            # for the measured outcomes of the sharper recipes.
+            kp_sigma = getattr(c, "kp_sigma_cells", 0.0) or sigma
+            kc = np.stack(kp_cells_all)                    # (Pv, K, 2) x,y
+            if not getattr(c, "kp_sigma_cells", 0.0):
+                kc = np.round(kc)
             vm = np.stack(kp_vis_all)                      # (Pv, K)
             yy, xx = np.mgrid[0:hm, 0:hm].astype(np.float32)
             d2 = (yy[None, None] - kc[..., 1, None, None]) ** 2 \
                 + (xx[None, None] - kc[..., 0, None, None]) ** 2
-            g = np.exp(-d2 / (2 * sigma ** 2)) * vm[..., None, None]
+            g = np.exp(-d2 / (2 * kp_sigma ** 2)) * vm[..., None, None]
             gt_kp_hm = g.max(axis=0).transpose(1, 2, 0).astype(np.float32)
 
         return {
