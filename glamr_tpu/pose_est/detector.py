@@ -52,6 +52,12 @@ class DetectorConfig:
     # capacity is input resolution, not splat sharpness (ROADMAP
     # round-6 queue).
     kp_sigma_cells: float = 0.0
+    # Decode-time keypoint snapping (see _snap_to_kp_heatmap). Per-model
+    # because it is an empirical property of the trained heads: at
+    # 128 px the kp heatmaps are no sharper than the regression (snap
+    # measured worse); at 256 px snapping cuts lifter root error 24%
+    # and zeroes the depth-anchor bias (RESULTS.md).
+    snap_kp: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "DetectorConfig":
@@ -280,7 +286,8 @@ def _snap_to_kp_heatmap(kp_cell, kp_hm, radius: int = 2,
 
 
 def decode_detections(out: dict, cfg: DetectorConfig,
-                      score_thresh: float = 0.3, snap_kp: bool = False):
+                      score_thresh: float = 0.3,
+                      snap_kp: bool | None = None):
     """Dense heads -> top-max_people detections per image (jittable).
 
     Returns dict:
@@ -292,12 +299,13 @@ def decode_detections(out: dict, cfg: DetectorConfig,
 
     snap_kp: refine the center-regressed keypoints against the
     per-keypoint heatmaps (_snap_to_kp_heatmap), CenterNet-pose style.
-    Default OFF: measured with the CURRENT release checkpoint the kp
-    heatmaps are no sharper than the regression (keypoint px error
-    10.0 -> 13.3 with snapping on the stage-1 e2e clip), so snapping
-    buys nothing until the kp_hm head is retrained stronger — flip on
-    after that retrain (ROADMAP, detector-domain round).
+    None (default) defers to cfg.snap_kp — a per-model property: at
+    128 px the kp heatmaps are no sharper than the regression (snap
+    measured worse, keypoint px error 10.0 -> 13.3); the 256-px model
+    ships with it ON (root error -24%, depth bias zeroed; RESULTS.md).
     """
+    if snap_kp is None:
+        snap_kp = getattr(cfg, "snap_kp", False)
     hm = out["center_hm"]                               # (B, h, w)
     B, h, w = hm.shape
     M, K, s = cfg.max_people, cfg.num_kp, cfg.out_stride
